@@ -1,0 +1,149 @@
+"""High-level IK API: the TPU-native equivalent of `solve_with_riemannian`.
+
+Reference flow (riemannian_solver.py:220-234):
+    graph.from_pose -> distance/adjacency matrices -> bound_smoothing ->
+    RiemannianSolver.solve -> graph_from_pos -> joint_variables ->
+    check_distance_limits.
+
+Here the whole pipeline is one jittable, batched function: pass T_goal with
+leading batch dims and every stage runs vmapped. Success is reported
+per-instance via status flags instead of exceptions (SURVEY.md section 5).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from graphik_tpu.graphs.problem import ProblemStructure
+from graphik_tpu.robots import kinematics
+from graphik_tpu.solvers import riemannian
+from graphik_tpu.solvers.riemannian import TRParams
+from graphik_tpu.utils import lie
+
+
+def pose_error(structure: ProblemStructure, q, T_goal):
+    """Per-instance position / rotation error of the end effector(s).
+
+    Matches the experiment metrics (test_chain_2d_new.py:63-66): position
+    error is the translation norm; rotation error is the norm of the
+    rotation part of log(T_goal T_sol^-1).
+    """
+    tpl = structure.template
+    q = jnp.asarray(q)
+    T_goal = jnp.asarray(T_goal, dtype=q.dtype)
+    n_ee = len(tpl.ee)
+    if T_goal.shape[-3:-2] != (n_ee,) or T_goal.ndim < 3:
+        T_goal = T_goal[..., None, :, :]
+
+    T_all = kinematics.all_poses(tpl, q)
+    dim = tpl.dim
+    e_pos = []
+    e_rot = []
+    for e, ee in enumerate(tpl.ee):
+        T_sol = T_all[..., int(ee), :, :]
+        Tg = T_goal[..., e, :, :]
+        e_pos.append(
+            jnp.linalg.norm(Tg[..., :dim, dim] - T_sol[..., :dim, dim], axis=-1)
+        )
+        R_rel = jnp.einsum(
+            "...ij,...kj->...ik", Tg[..., :dim, :dim], T_sol[..., :dim, :dim]
+        )
+        if dim == 3:
+            e_rot.append(jnp.linalg.norm(lie.so3_log(R_rel), axis=-1))
+        else:
+            e_rot.append(jnp.abs(jnp.arctan2(R_rel[..., 1, 0], R_rel[..., 0, 0])))
+    e_pos = jnp.stack(e_pos, axis=-1)
+    e_rot = jnp.stack(e_rot, axis=-1)
+    return jnp.max(e_pos, axis=-1), jnp.max(e_rot, axis=-1)
+
+
+def solve_ik(
+    structure: ProblemStructure,
+    T_goal,
+    params: TRParams = TRParams(),
+    use_limits: bool = True,
+    Y_init=None,
+    dtype=None,
+    limit_tol: float = 1e-6,
+):
+    """Solve batched IK instances with the Riemannian solver.
+
+    Parameters
+    ----------
+    structure : compiled problem template (static).
+    T_goal : (..., hd, hd) or (..., n_ee, hd, hd) goal poses; leading dims
+        are the instance batch.
+    Y_init : optional (..., N, dim) initialization; default is the
+        bound-smoothing MDS init (riemannian_solver.py:67-75).
+
+    Returns a dict with per-instance arrays:
+      q (..., n), Y (..., N, dim), cost, gradnorm, iterations,
+      e_pos, e_rot, limit_violation, success (limits ok).
+    """
+    inst = structure.instance(T_goal, dtype=dtype, smooth=Y_init is None)
+    omega_np, psi_L, psi_U = structure.masks()
+    dim = structure.dim
+
+    if Y_init is None:
+        Y0 = riemannian.generate_initialization(
+            inst["lb"], inst["ub"], jnp.asarray(omega_np), dim
+        )
+    else:
+        Y0 = jnp.asarray(Y_init)
+        batch = inst["D_goal"].shape[:-2]
+        Y0 = jnp.broadcast_to(Y0, batch + Y0.shape[-2:])
+
+    sol = riemannian.solve(
+        Y0,
+        inst["D_goal"],
+        omega_np,
+        psi_L if use_limits else None,
+        psi_U if use_limits else None,
+        params=params,
+    )
+
+    q = structure.joint_variables(sol["Y"], T_goal)
+    pos_fk = structure.realization(q)
+    max_viol, limits_ok = structure.check_distance_limits(pos_fk, tol=limit_tol)
+    e_pos, e_rot = pose_error(structure, q, T_goal)
+
+    return {
+        "q": q,
+        "Y": sol["Y"],
+        "cost": sol["cost"],
+        "gradnorm": sol["gradnorm"],
+        "iterations": sol["iterations"],
+        "num_inner": sol["num_inner"],
+        "e_pos": e_pos,
+        "e_rot": e_rot,
+        "limit_violation": max_viol,
+        "success": limits_ok,
+    }
+
+
+def solve_ik_jit(structure: ProblemStructure, **fixed_kwargs):
+    """Return a jitted solver specialized to `structure`.
+
+    Example:
+        solver = solve_ik_jit(structure, params=TRParams(maxiter=500))
+        out = solver(T_goal_batch)
+    """
+    fn = partial(solve_ik, structure, **fixed_kwargs)
+    return jax.jit(fn)
+
+
+def random_goals(structure: ProblemStructure, key, batch_shape=()):
+    """Random reachable goal poses via FK at random configurations.
+
+    The experiments' goal generator (test_chain_2d_new.py:52-53).
+    Returns (T_goal, q_goal): T_goal is (..., n_ee, hd, hd).
+    """
+    tpl = structure.template
+    q = kinematics.random_configuration(tpl, key, batch_shape)
+    T_all = kinematics.all_poses(tpl, q)
+    T_goal = T_all[..., jnp.asarray(tpl.ee), :, :]
+    return T_goal, q

@@ -1,0 +1,240 @@
+"""Minimal URDF ingestion (xml.etree, no urdfpy dependency).
+
+Reimplements the reference's RobotURDF semantics
+(/root/reference/graphik/utils/roboturdf.py:11-297) as a small host-side
+parser producing a `RobotTemplate`:
+
+* zero-config FK over the link tree from the <origin> tags,
+* per-actuated-joint frames re-aligned so local z == the joint axis
+  (roboturdf.py:122-153, 266-297),
+* end-effector joints = joints with no actuated descendants; their frames
+  are the raw child-link frames and *overwrite* aligned frames when the
+  last actuated joint is also terminal (roboturdf.py:149-151) - a reference
+  behavior we reproduce exactly so that FK/goal semantics match,
+* node labels p0..pk assigned over (actuated joints in document order,
+  then new end-effector joints), normalized so T0[p0] = I
+  (roboturdf.py:226-253).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import xml.etree.ElementTree as ET
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from graphik_tpu.robots.templates import RobotTemplate, revolute_from_t_zero
+
+ACTUATED_TYPES = ("revolute", "continuous")
+
+
+def _rpy_to_R(r, p, y):
+    """URDF fixed-axis roll-pitch-yaw: R = Rz(y) Ry(p) Rx(r)."""
+    cr, sr = np.cos(r), np.sin(r)
+    cp, sp = np.cos(p), np.sin(p)
+    cy, sy = np.cos(y), np.sin(y)
+    Rx = np.array([[1, 0, 0], [0, cr, -sr], [0, sr, cr]])
+    Ry = np.array([[cp, 0, sp], [0, 1, 0], [-sp, 0, cp]])
+    Rz = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]])
+    return Rz @ Ry @ Rx
+
+
+def _origin_to_T(origin: Optional[ET.Element]) -> np.ndarray:
+    T = np.eye(4)
+    if origin is None:
+        return T
+    xyz = [float(v) for v in origin.get("xyz", "0 0 0").split()]
+    rpy = [float(v) for v in origin.get("rpy", "0 0 0").split()]
+    T[:3, :3] = _rpy_to_R(*rpy)
+    T[:3, 3] = xyz
+    return T
+
+
+def axis_alignment(axis: np.ndarray) -> np.ndarray:
+    """Rotation mapping `axis` onto z_hat (reference get_T_from_joint_axis,
+    roboturdf.py:266-297, but via the shortest-arc atan2 form, which is
+    correct for axes at any angle from z, not only within 90 degrees)."""
+    axis = np.asarray(axis, dtype=float)
+    axis = axis / np.linalg.norm(axis)
+    z = np.array([0.0, 0.0, 1.0])
+    c = np.cross(axis, z)
+    s = np.linalg.norm(c)
+    d = float(np.dot(axis, z))
+    if s < 1e-12:
+        if d > 0:
+            return np.eye(3)
+        # axis == -z: rotate pi about x (roboturdf.py:274-275)
+        return np.array([[1.0, 0, 0], [0, -1.0, 0], [0, 0, -1.0]])
+    r = c / s
+    ang = np.arctan2(s, d)
+    K = np.array([[0, -r[2], r[1]], [r[2], 0, -r[0]], [-r[1], r[0], 0]])
+    return np.eye(3) + np.sin(ang) * K + (1 - np.cos(ang)) * K @ K
+
+
+@dataclasses.dataclass
+class UrdfJoint:
+    name: str
+    jtype: str
+    parent: str
+    child: str
+    T_origin: np.ndarray
+    axis: np.ndarray
+    limit_lower: Optional[float]
+    limit_upper: Optional[float]
+
+    @property
+    def actuated(self) -> bool:
+        return self.jtype in ACTUATED_TYPES
+
+
+@dataclasses.dataclass
+class UrdfModel:
+    name: str
+    joints: List[UrdfJoint]
+    links: List[str]
+
+    @classmethod
+    def parse(cls, source: str) -> "UrdfModel":
+        """Parse a URDF file path or XML string."""
+        if source.lstrip().startswith("<"):
+            root = ET.fromstring(source)
+        else:
+            root = ET.parse(source).getroot()
+        joints = []
+        for j in root.findall("joint"):
+            lim = j.find("limit")
+            joints.append(
+                UrdfJoint(
+                    name=j.get("name"),
+                    jtype=j.get("type"),
+                    parent=j.find("parent").get("link"),
+                    child=j.find("child").get("link"),
+                    T_origin=_origin_to_T(j.find("origin")),
+                    axis=np.array(
+                        [
+                            float(v)
+                            for v in (
+                                j.find("axis").get("xyz").split()
+                                if j.find("axis") is not None
+                                else ["0", "0", "1"]
+                            )
+                        ]
+                    ),
+                    limit_lower=float(lim.get("lower")) if lim is not None and lim.get("lower") else None,
+                    limit_upper=float(lim.get("upper")) if lim is not None and lim.get("upper") else None,
+                )
+            )
+        links = [l.get("name") for l in root.findall("link")]
+        return cls(name=root.get("name", "robot"), joints=joints, links=links)
+
+    # -- structure queries ------------------------------------------------
+    @property
+    def actuated_joints(self) -> List[UrdfJoint]:
+        return [j for j in self.joints if j.actuated]
+
+    def _children_of_link(self, link: str) -> List[UrdfJoint]:
+        return [j for j in self.joints if j.parent == link]
+
+    def _actuated_below(self, link: str) -> List[UrdfJoint]:
+        """Actuated joints in the subtree under `link`
+        (roboturdf.py:48-60)."""
+        out = []
+        for j in self._children_of_link(link):
+            if j.actuated:
+                out.append(j)
+            else:
+                out.extend(self._actuated_below(j.child))
+        return out
+
+    def end_effector_joints(self) -> List[UrdfJoint]:
+        """Joints with no actuated descendants (roboturdf.py:155-176).
+
+        Note this includes terminal *actuated* joints - the reference then
+        overwrites their aligned frames with raw link frames.
+        """
+        return [j for j in self.joints if not self._actuated_below(j.child)]
+
+    def link_fk_zero(self) -> Dict[str, np.ndarray]:
+        """World pose of every link at zero configuration."""
+        parent_joint = {j.child: j for j in self.joints}
+        fk: Dict[str, np.ndarray] = {}
+
+        def pose(link: str) -> np.ndarray:
+            if link in fk:
+                return fk[link]
+            j = parent_joint.get(link)
+            T = np.eye(4) if j is None else pose(j.parent) @ j.T_origin
+            fk[link] = T
+            return T
+
+        for l in self.links:
+            pose(l)
+        return fk
+
+    # -- template construction -------------------------------------------
+    def t_zero(self) -> Tuple[List[UrdfJoint], Dict[str, np.ndarray]]:
+        """Ordered joint list + frame dict (roboturdf.py:122-153)."""
+        fk = self.link_fk_zero()
+        order: List[UrdfJoint] = []
+        T: Dict[str, np.ndarray] = {}
+        for j in self.actuated_joints:
+            A = axis_alignment(j.axis)
+            Tj = np.eye(4)
+            Tj[:3, :3] = A
+            T[j.name] = fk[j.child] @ np.linalg.inv(Tj)
+            order.append(j)
+        for j in self.end_effector_joints():
+            if j.name not in T:
+                order.append(j)
+            T[j.name] = fk[j.child]  # raw frame; overwrites terminal actuated
+        return order, T
+
+    def template(
+        self, lb=None, ub=None, use_urdf_limits: bool = False
+    ) -> RobotTemplate:
+        """Compile to a RobotTemplate (make_Revolute3d, roboturdf.py:226-264).
+
+        Default limits are +-pi per joint (the reference loaders',
+        roboturdf.py:299-371); `use_urdf_limits` clips the URDF's own limits
+        to +-pi (roboturdf.py:192-204).
+        """
+        order, T = self.t_zero()
+        n_nodes = len(order)
+        n = n_nodes - 1
+
+        # parents over the ordered joints (roboturdf.py:84-102)
+        name_to_idx = {j.name: i for i, j in enumerate(order)}
+        parents = -np.ones(n_nodes, dtype=np.int64)
+        for i, j in enumerate(order):
+            for c in self._children_of_link(j.child):
+                if c.name in name_to_idx:
+                    parents[name_to_idx[c.name]] = i
+
+        # base-relative frames (roboturdf.py:250-253)
+        T0 = np.stack([T[j.name] for j in order])
+        T0 = np.linalg.inv(T0[0])[None] @ T0
+
+        if lb is None:
+            if use_urdf_limits:
+                lb = np.array(
+                    [
+                        np.clip(j.limit_lower if j.limit_lower is not None else -np.pi, -np.pi, np.pi)
+                        for j in order[1 : n + 1]
+                    ]
+                )
+                ub = np.array(
+                    [
+                        np.clip(j.limit_upper if j.limit_upper is not None else np.pi, -np.pi, np.pi)
+                        for j in order[1 : n + 1]
+                    ]
+                )
+            else:
+                lb = -np.pi * np.ones(n)
+                ub = np.pi * np.ones(n)
+
+        return revolute_from_t_zero(T0, parents, lb=lb, ub=ub)
+
+
+def template_from_urdf(path: str, lb=None, ub=None, **kw) -> RobotTemplate:
+    return UrdfModel.parse(path).template(lb=lb, ub=ub, **kw)

@@ -1,0 +1,168 @@
+"""Data-parallel fleet layer: mesh sharding, restart pools, metrics.
+
+The reference is single-threaded, one IK instance at a time (SURVEY.md
+section 2.6); scale here is *created* by sharding the instance batch over a
+1-D device mesh. Problems are tiny (N ~ 16) and independent, so data
+parallelism over goals x restarts is the only meaningful axis; collectives
+are reductions at the end (success rates, best-of-restart selection).
+
+Multi-host: call `jax.distributed.initialize()` before building the mesh;
+`make_mesh` uses all visible devices and XLA lays the batch axis over
+ICI/DCN automatically.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from graphik_tpu import api
+from graphik_tpu.graphs.problem import ProblemStructure
+from graphik_tpu.solvers import riemannian
+from graphik_tpu.solvers.riemannian import TRParams
+from graphik_tpu.utils import dgp
+
+
+def make_mesh(n_devices: Optional[int] = None, axis_name: str = "batch") -> Mesh:
+    """1-D device mesh over the instance batch axis."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def shard_batch(x, mesh: Mesh, axis_name: str = "batch"):
+    """Place a batched pytree with its leading axis sharded over the mesh."""
+    sharding = NamedSharding(mesh, P(axis_name))
+    return jax.tree.map(lambda a: jax.device_put(a, sharding), x)
+
+
+def solve_ik_sharded(
+    structure: ProblemStructure,
+    T_goal,
+    mesh: Mesh,
+    params: TRParams = TRParams(),
+    axis_name: str = "batch",
+    **kwargs,
+):
+    """Batched IK solve with the goal batch sharded over the mesh.
+
+    The solve is embarrassingly parallel; XLA partitions the vmapped
+    while-loops with zero communication, and metric reductions (means over
+    the batch) become cross-device collectives.
+    """
+    in_sharding = NamedSharding(mesh, P(axis_name))
+    out_sharding = NamedSharding(mesh, P(axis_name))
+
+    fn = jax.jit(
+        partial(api.solve_ik, structure, params=params, **kwargs),
+        in_shardings=in_sharding,
+        out_shardings=out_sharding,
+    )
+    T_goal = jax.device_put(jnp.asarray(T_goal), in_sharding)
+    return fn(T_goal)
+
+
+def solve_ik_restarts(
+    structure: ProblemStructure,
+    T_goal,
+    key,
+    n_restarts: int = 4,
+    params: TRParams = TRParams(),
+    use_limits: bool = True,
+    dtype=None,
+):
+    """Multi-restart solve with per-goal best-solution selection.
+
+    Restart 0 uses the reference's deterministic bound-interpolation init
+    (riemannian_solver.py:67-75); further restarts sample the distance
+    matrix uniformly inside the smoothed bounds (dgp.py:187-189). The best
+    restart per goal is chosen by (limit-feasible, pose error).
+
+    Returns the selected per-goal result dict plus "restart_index".
+    """
+    inst = structure.instance(T_goal, dtype=dtype, smooth=True)
+    omega_np, psi_L, psi_U = structure.masks()
+    dim = structure.dim
+    omega = jnp.asarray(omega_np)
+
+    keys = jax.random.split(key, n_restarts)
+
+    def init_for(i, k):
+        frac_key = None if i == 0 else k
+        return riemannian.generate_initialization(
+            inst["lb"], inst["ub"], omega, dim, key=frac_key
+        )
+
+    Y0s = jnp.stack([init_for(i, keys[i]) for i in range(n_restarts)])
+
+    def solve_one_restart(Y0):
+        sol = riemannian.solve(
+            Y0,
+            inst["D_goal"],
+            omega_np,
+            psi_L if use_limits else None,
+            psi_U if use_limits else None,
+            params=params,
+        )
+        q = structure.joint_variables(sol["Y"], T_goal)
+        pos_fk = structure.realization(q)
+        viol, ok = structure.check_distance_limits(pos_fk)
+        e_pos, e_rot = api.pose_error(structure, q, T_goal)
+        return {
+            "q": q,
+            "Y": sol["Y"],
+            "cost": sol["cost"],
+            "gradnorm": sol["gradnorm"],
+            "iterations": sol["iterations"],
+            "e_pos": e_pos,
+            "e_rot": e_rot,
+            "limit_violation": viol,
+            "success": ok,
+        }
+
+    all_out = jax.vmap(solve_one_restart)(Y0s)  # leading axis: restart
+
+    # Selection score: feasible first, then pose error (pos + rot).
+    score = all_out["e_pos"] + all_out["e_rot"] + jnp.where(
+        all_out["success"], 0.0, 1e6
+    )
+    best = jnp.argmin(score, axis=0)  # (..., batch)
+
+    def pick(x):
+        return jnp.take_along_axis(
+            x, best[None, ...].reshape((1,) + best.shape + (1,) * (x.ndim - 1 - best.ndim)),
+            axis=0,
+        )[0]
+
+    out = {k: pick(v) for k, v in all_out.items()}
+    out["restart_index"] = best
+    return out
+
+
+def summarize(out, criterion_pos: float = 1e-3, criterion_rot: float = np.pi / 180):
+    """Batch metrics: success rate and latency percentiles proxy (iterations).
+
+    Success = pose error within (pos < 1 mm, rot < 1 deg by default) AND
+    limit-feasible - the BASELINE.md target criterion.
+    """
+    e_pos = jnp.ravel(out["e_pos"])
+    e_rot = jnp.ravel(out["e_rot"])
+    ok = jnp.ravel(out["success"])
+    hit = (e_pos < criterion_pos) & (e_rot < criterion_rot) & ok
+    iters = jnp.ravel(out["iterations"]).astype(jnp.float32)
+    return {
+        "success_rate": jnp.mean(hit.astype(jnp.float32)),
+        "pose_only_rate": jnp.mean(
+            ((e_pos < criterion_pos) & (e_rot < criterion_rot)).astype(jnp.float32)
+        ),
+        "mean_pos_err": jnp.mean(e_pos),
+        "median_pos_err": jnp.median(e_pos),
+        "mean_iterations": jnp.mean(iters),
+        "p90_iterations": jnp.percentile(iters, 90),
+    }

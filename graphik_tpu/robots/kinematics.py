@@ -1,0 +1,137 @@
+"""Batched forward kinematics and Jacobians over robot templates.
+
+TPU-native replacement for the reference's per-node Python FK loops
+(robot_revolute.py:85-138, robot_base.py:185-193): one `lax.scan` over the
+topologically-ordered joint tree computes every frame; everything vmaps over
+an instance batch.
+
+Functions take a `RobotTemplate` (treated as static - its numpy arrays
+become jit constants) and a joint-angle array ``q`` of shape (..., n).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from graphik_tpu.robots.templates import RobotTemplate
+from graphik_tpu.utils import lie
+
+
+def _exp(template: RobotTemplate, xi):
+    return lie.se3_exp(xi) if template.dim == 3 else lie.se2_exp(xi)
+
+
+def _adjoint(template: RobotTemplate, T):
+    return lie.se3_adjoint(T) if template.dim == 3 else lie.se2_adjoint(T)
+
+
+def prefix_products(template: RobotTemplate, q):
+    """Accumulated exponential products A_i for every node.
+
+    A_0 = T0[0]; A_i = A_{parent(i)} @ exp(S[parent(i)] * q_i), so that
+    pose(node i) = A_i @ T0[i]  (robot_revolute.py:96-101).
+
+    q: (n,) -> returns (n+1, hd, hd). vmap for batches.
+    """
+    tpl = template
+    S = jnp.asarray(tpl.S, dtype=q.dtype)
+    parents = jnp.asarray(tpl.parents)
+    hd = tpl.dim + 1
+    A0 = jnp.asarray(tpl.T0[0], dtype=q.dtype)
+
+    def body(A, i):
+        p = parents[i]
+        step = _exp(tpl, S[p] * q[i - 1])
+        Ai = A[p] @ step
+        A = A.at[i].set(Ai)
+        return A, None
+
+    A_init = jnp.zeros((tpl.n + 1, hd, hd), dtype=q.dtype).at[0].set(A0)
+    A, _ = jax.lax.scan(body, A_init, jnp.arange(1, tpl.n + 1))
+    return A
+
+
+@partial(jax.jit, static_argnums=0)
+def all_poses(template: RobotTemplate, q):
+    """Poses of every joint frame: (..., n) -> (..., n+1, hd, hd)."""
+    tpl = template
+    T0 = jnp.asarray(tpl.T0, dtype=q.dtype)
+
+    def single(qi):
+        A = prefix_products(tpl, qi)
+        return A @ T0
+
+    for _ in range(q.ndim - 1):
+        single = jax.vmap(single)
+    return single(q)
+
+
+def pose(template: RobotTemplate, q, node: int):
+    """Pose of one node: (..., n) -> (..., hd, hd)."""
+    return all_poses(template, q)[..., node, :, :]
+
+
+def joint_positions(template: RobotTemplate, q, axis_length: float = 1.0):
+    """Positions of the main (p) and auxiliary (q) points of every joint.
+
+    Returns (p_pos, q_pos): each (..., n+1, dim). For dim == 3, the aux point
+    is the frame origin translated by axis_length along the frame z-axis
+    (graph_revolute.py:68-72); for dim == 2 ``q_pos`` is None.
+    """
+    T = all_poses(template, q)
+    dim = template.dim
+    p_pos = T[..., :dim, dim]
+    if dim == 3:
+        q_pos = p_pos + axis_length * T[..., :3, 2]
+        return p_pos, q_pos
+    return p_pos, None
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def jacobian(template: RobotTemplate, q, node: int):
+    """Spatial Jacobian of `node` in [v, w] twist coordinates.
+
+    Column i-1 (for joint angle q_i on the path) is Ad_{A_{parent(i)}} S[parent(i)]
+    (robot_revolute.py:105-138). Columns for joints off the path are zero.
+
+    q: (..., n) -> (..., 6|3, n).
+    """
+    tpl = template
+    S = jnp.asarray(tpl.S, dtype=q.dtype)
+    parents = jnp.asarray(tpl.parents)
+
+    # Which joints move `node`: ancestors of node (path membership), static.
+    on_path = _path_membership(tpl, node)  # (n+1,) bool, entry i for joint i
+
+    def single(qi):
+        A = prefix_products(tpl, qi)
+        Ad = _adjoint(tpl, A)  # (n+1, tw, tw)
+        cols = jnp.einsum("nij,nj->ni", Ad[parents[1:]], S[parents[1:]])
+        cols = jnp.where(jnp.asarray(on_path[1:])[:, None], cols, 0.0)
+        return cols.T  # (tw, n)
+
+    for _ in range(q.ndim - 1):
+        single = jax.vmap(single)
+    return single(q)
+
+
+def _path_membership(template: RobotTemplate, node: int):
+    import numpy as np
+
+    on = np.zeros(template.n + 1, dtype=bool)
+    i = node
+    while i > 0:
+        on[i] = True
+        i = int(template.parents[i])
+    return on
+
+
+def random_configuration(template: RobotTemplate, key, batch_shape=()):
+    """Uniform joint angles within limits (robot_base.py:76-85)."""
+    lb = jnp.asarray(template.lb[1:])
+    ub = jnp.asarray(template.ub[1:])
+    u = jax.random.uniform(key, batch_shape + (template.n,))
+    return lb + u * (ub - lb)

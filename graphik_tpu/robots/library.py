@@ -1,0 +1,102 @@
+"""Bundled robot model library (reference loaders, roboturdf.py:299-402).
+
+Models are shipped as compact kinematic JSON specs (extracted from the
+reference's URDFs by tools/extract_models.py); each loader returns
+(RobotTemplate, ProblemStructure) like the reference's (robot, graph).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+from graphik_tpu.graphs.problem import ProblemStructure
+from graphik_tpu.io.urdf import UrdfJoint, UrdfModel
+from graphik_tpu.robots.templates import RobotTemplate, revolute_from_dh
+
+SPEC_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "specs")
+
+
+def model_from_spec(name: str) -> UrdfModel:
+    with open(os.path.join(SPEC_DIR, name + ".json")) as f:
+        spec = json.load(f)
+    joints = [
+        UrdfJoint(
+            name=j["name"],
+            jtype=j["type"],
+            parent=j["parent"],
+            child=j["child"],
+            T_origin=np.asarray(j["origin"], dtype=float),
+            axis=np.asarray(j["axis"], dtype=float),
+            limit_lower=j["limit_lower"],
+            limit_upper=j["limit_upper"],
+        )
+        for j in spec["joints"]
+    ]
+    return UrdfModel(name=spec["name"], joints=joints, links=spec["links"])
+
+
+def _load(name: str, limits=None) -> Tuple[RobotTemplate, ProblemStructure]:
+    model = model_from_spec(name)
+    if limits is None:
+        tpl = model.template()
+    else:
+        tpl = model.template(lb=limits[0], ub=limits[1])
+    return tpl, ProblemStructure.from_template(tpl)
+
+
+def load_ur10(limits=None):
+    return _load("ur10_mod", limits)
+
+
+def load_kuka(limits=None):
+    return _load("kuka_iiwr", limits)
+
+
+def load_kuka_lwr(limits=None):
+    return _load("kuka_lwr", limits)
+
+
+def load_schunk_lwa4d(limits=None):
+    return _load("lwa4d", limits)
+
+
+def load_schunk_lwa4p(limits=None):
+    return _load("lwa4p", limits)
+
+
+def load_panda(limits=None):
+    return _load("panda_arm", limits)
+
+
+def load_panda_truncated(limits=None):
+    return _load("panda_arm_truncated", limits)
+
+
+def load_jaco(limits=None):
+    return _load("jaco2arm6DOF_no_hand", limits)
+
+
+ALL_MODELS = {
+    "ur10": load_ur10,
+    "kuka_iiwr": load_kuka,
+    "kuka_lwr": load_kuka_lwr,
+    "lwa4d": load_schunk_lwa4d,
+    "lwa4p": load_schunk_lwa4p,
+    "panda": load_panda,
+    "panda_truncated": load_panda_truncated,
+    "jaco": load_jaco,
+}
+
+
+def load_truncated_ur10(n: int):
+    """First n links of a UR10 from DH constants (roboturdf.py:374-402)."""
+    a = [0, -0.612, -0.5723, 0, 0, 0][:n]
+    d = [0.1273, 0, 0, 0.1639, 0.1157, 0.0922][:n]
+    al = [np.pi / 2, 0, 0, np.pi / 2, -np.pi / 2, 0][:n]
+    th = [0.0] * n
+    tpl = revolute_from_dh(a, al, d, th)
+    return tpl, ProblemStructure.from_template(tpl)

@@ -1,0 +1,87 @@
+"""Dense masked EDM-completion costs: f, Euclidean grad, Hessian-vector.
+
+TPU-native replacement for the reference's numba AOT kernels
+(/root/reference/graphik/solvers/costs.py) and the dense numpy closures
+(riemannian_solver.py:95-119, 139-174). Everything is expressed as masked
+(N, N) x (N, d) linear algebra so XLA fuses the elementwise chains into the
+batched matmuls; a fused Pallas kernel backs the same signatures for the
+hot path (graphik_tpu.ops).
+
+Conventions (matching the reference):
+  D(Y)   = K(Y Y^T),  K(G) = diag(G) 1^T + 1 diag(G)^T - 2 G  (squared EDM)
+  f(Y)   = 1/2 ( ||omega o (D_goal - D)||_F^2
+               + ||max(psi_L - D, 0) o L_mask||_F^2
+               + ||max(D - psi_U, 0) o U_mask||_F^2 )
+  egrad  = 2 adj(S) Y,  S = S0 + E1 - E2,  adj(X) = X - Diag(X 1)
+  ehess(Z) = 2 ( adj(-M o K(YZ^T + ZY^T)) Y + adj(S) Z ),
+             M = omega + L_mask o 1[E1>0] + U_mask o 1[E2>0]
+
+The hinge masks L_mask/U_mask are (psi_L > 0) & (psi_L != psi_U) etc.
+(riemannian_solver.py:123-125).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from graphik_tpu.utils.dgp import distance_matrix_from_gram, distance_matrix_from_pos
+
+
+def _adj(X):
+    """adj(X) = X - Diag(row sums): adjoint of G -> K(G) for symmetric X."""
+    row = jnp.sum(X, axis=-1)
+    return X - jnp.zeros_like(X).at[..., jnp.arange(X.shape[-1]), jnp.arange(X.shape[-1])].set(row)
+
+
+def _adj_mv(X, Y):
+    """adj(X) @ Y without materializing the diagonal subtraction."""
+    row = jnp.sum(X, axis=-1)
+    return X @ Y - row[..., :, None] * Y
+
+
+def residuals(Y, D_goal, omega, psi_L, psi_U, L_mask, U_mask):
+    D = distance_matrix_from_pos(Y)
+    S0 = omega * (D_goal - D)
+    E1 = L_mask * jnp.maximum(psi_L - D, 0.0)
+    E2 = U_mask * jnp.maximum(D - psi_U, 0.0)
+    return D, S0, E1, E2
+
+
+def cost(Y, D_goal, omega, psi_L, psi_U, L_mask, U_mask):
+    _, S0, E1, E2 = residuals(Y, D_goal, omega, psi_L, psi_U, L_mask, U_mask)
+    return 0.5 * (
+        jnp.sum(S0 * S0, axis=(-2, -1))
+        + jnp.sum(E1 * E1, axis=(-2, -1))
+        + jnp.sum(E2 * E2, axis=(-2, -1))
+    )
+
+
+def egrad(Y, D_goal, omega, psi_L, psi_U, L_mask, U_mask):
+    _, S0, E1, E2 = residuals(Y, D_goal, omega, psi_L, psi_U, L_mask, U_mask)
+    return 2.0 * _adj_mv(S0 + E1 - E2, Y)
+
+
+def cost_and_egrad(Y, D_goal, omega, psi_L, psi_U, L_mask, U_mask):
+    _, S0, E1, E2 = residuals(Y, D_goal, omega, psi_L, psi_U, L_mask, U_mask)
+    f = 0.5 * (
+        jnp.sum(S0 * S0, axis=(-2, -1))
+        + jnp.sum(E1 * E1, axis=(-2, -1))
+        + jnp.sum(E2 * E2, axis=(-2, -1))
+    )
+    return f, 2.0 * _adj_mv(S0 + E1 - E2, Y)
+
+
+def ehess(Y, Z, D_goal, omega, psi_L, psi_U, L_mask, U_mask):
+    _, S0, E1, E2 = residuals(Y, D_goal, omega, psi_L, psi_U, L_mask, U_mask)
+    G_dot = jnp.einsum("...ik,...jk->...ij", Y, Z)
+    dD = distance_matrix_from_gram(G_dot + jnp.swapaxes(G_dot, -1, -2))
+    M = omega + L_mask * (E1 > 0) + U_mask * (E2 > 0)
+    return 2.0 * (_adj_mv(-M * dD, Y) + _adj_mv(S0 + E1 - E2, Z))
+
+
+def make_masks(omega, psi_L, psi_U):
+    """Hinge activity masks (riemannian_solver.py:123-125)."""
+    diff = psi_L != psi_U
+    L_mask = (diff & (psi_L > 0)).astype(psi_L.dtype)
+    U_mask = (diff & (psi_U > 0)).astype(psi_U.dtype)
+    return L_mask, U_mask

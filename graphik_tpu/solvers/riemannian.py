@@ -1,0 +1,379 @@
+"""Batched Riemannian trust-region solver over the rank-d PSD quotient manifold.
+
+TPU-native reimplementation of the reference's vendored Manopt TrustRegions +
+truncated CG (/root/reference/graphik/solvers/trust_region.py:112-599) and the
+PSDFixedRank quotient manifold (utils/manifolds/fixed_rank_psd_sym.py:23-138):
+
+* A point is Y in R^{N x d} representing the Gram matrix Y Y^T.
+* The horizontal projection solves the Lyapunov system
+  (Y^T Y) Om + Om (Y^T Y) = Y^T Z - Z^T Y (fixed_rank_psd_sym.py:91-113);
+  here via a closed-form d x d eigh instead of the reference's unrolled
+  9x9 linear solve - batched and branch-free.
+* Retraction is Y + U (fixed_rank_psd_sym.py:137-138); the Euclidean
+  gradient is already horizontal for this cost, matching the reference's
+  egrad2rgrad identity (fixed_rank_psd_sym.py:123-124).
+
+The outer TR loop and the Steihaug-Toint tCG inner loop are expressed as
+per-instance `lax.while_loop`s and vmapped over the batch; converged lanes
+freeze their state so radius/rho bookkeeping stays exact per instance
+(SURVEY.md section 7.3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from graphik_tpu.solvers import costs
+from graphik_tpu.utils import dgp
+
+# tCG stop reasons (trust_region.py:68-83)
+NEGATIVE_CURVATURE = 0
+EXCEEDED_TR = 1
+REACHED_TARGET_LINEAR = 2
+REACHED_TARGET_SUPERLINEAR = 3
+MAX_INNER_ITER = 4
+MODEL_INCREASED = 5
+
+
+@dataclasses.dataclass(frozen=True)
+class TRParams:
+    """Trust-region hyperparameters (defaults: riemannian_solver.py:44-50,
+    trust_region.py:85-122)."""
+
+    maxiter: int = 3000
+    mingradnorm: Optional[float] = None  # default by dtype in solve()
+    theta: float = 1.0
+    kappa: float = 0.1
+    rho_prime: float = 0.1
+    rho_regularization: float = 1e3
+    maxinner: Optional[int] = None  # default: N*d (CG dimension)
+    mininner: int = 1
+    Delta_bar: Optional[float] = None  # default: typicaldist = 10 + d
+    Delta0: Optional[float] = None  # default: Delta_bar / 8
+
+
+def manifold_proj(Y, Z):
+    """Horizontal-space projection on the PSDFixedRank quotient.
+
+    Solves X Om + Om X = C with X = Y^T Y, C = Y^T Z - Z^T Y via the
+    eigendecomposition of X; returns Z - Y Om. Batched, any d.
+    """
+    X = jnp.einsum("...ki,...kj->...ij", Y, Y)
+    C = jnp.einsum("...ki,...kj->...ij", Y, Z) - jnp.einsum(
+        "...ki,...kj->...ij", Z, Y
+    )
+    lam, Q = jnp.linalg.eigh(X)
+    Cq = jnp.einsum("...ki,...kl,...lj->...ij", Q, C, Q)
+    denom = lam[..., :, None] + lam[..., None, :]
+    # Pseudo-inverse on near-null eigenpairs: when Y is (nearly) rank
+    # deficient the quotient geometry degenerates (fixed_rank_psd_sym.py:40-43);
+    # zeroing those Omega components keeps the projection finite.
+    lam_max = jnp.maximum(jnp.max(lam, axis=-1, keepdims=True), 1e-30)[..., None]
+    tiny = denom < 1e-9 * lam_max
+    Om_q = jnp.where(tiny, 0.0, Cq / jnp.where(tiny, 1.0, denom))
+    Om = jnp.einsum("...ik,...kl,...jl->...ij", Q, Om_q, Q)
+    return Z - Y @ Om
+
+
+def _inner(a, b):
+    return jnp.sum(a * b)
+
+
+class _TCGState(NamedTuple):
+    j: jnp.ndarray
+    eta: jnp.ndarray
+    Heta: jnp.ndarray
+    r: jnp.ndarray
+    delta_dir: jnp.ndarray
+    e_Pe: jnp.ndarray
+    e_Pd: jnp.ndarray
+    d_Pd: jnp.ndarray
+    z_r: jnp.ndarray
+    model_value: jnp.ndarray
+    stop: jnp.ndarray
+    done: jnp.ndarray
+
+
+def _tcg(hess_fn, grad, Delta, p: TRParams, maxinner: int):
+    """Steihaug-Toint truncated CG (trust_region.py:436-599), single instance.
+
+    Returns (eta, Heta, num_inner, stop_reason).
+    """
+    dt = grad.dtype
+    zero = jnp.zeros_like(grad)
+    r0 = grad
+    r_r0 = _inner(r0, r0)
+    norm_r0 = jnp.sqrt(r_r0)
+
+    init = _TCGState(
+        j=jnp.zeros((), jnp.int32),
+        eta=zero,
+        Heta=zero,
+        r=r0,
+        delta_dir=-r0,
+        e_Pe=jnp.zeros((), dt),
+        e_Pd=jnp.zeros((), dt),
+        d_Pd=r_r0,
+        z_r=r_r0,
+        model_value=jnp.zeros((), dt),
+        stop=jnp.full((), MAX_INNER_ITER, jnp.int32),
+        done=jnp.zeros((), bool),
+    )
+
+    def cond(s: _TCGState):
+        return (~s.done) & (s.j < maxinner)
+
+    def body(s: _TCGState):
+        Hdelta = hess_fn(s.delta_dir)
+        d_Hd = _inner(s.delta_dir, Hdelta)
+        alpha = s.z_r / d_Hd
+        e_Pe_new = s.e_Pe + 2.0 * alpha * s.e_Pd + alpha**2 * s.d_Pd
+
+        # negative curvature / TR boundary exit (trust_region.py:509-535).
+        # Non-finite alpha/e_Pe (curvature underflow on frozen or degenerate
+        # lanes) also routes to the boundary exit so NaNs never enter eta.
+        hit_boundary = (
+            (d_Hd <= 0)
+            | (e_Pe_new >= Delta**2)
+            | ~jnp.isfinite(alpha)
+            | ~jnp.isfinite(e_Pe_new)
+        )
+        disc = jnp.maximum(s.e_Pd**2 + s.d_Pd * (Delta**2 - s.e_Pe), 0.0)
+        tau = (-s.e_Pd + jnp.sqrt(disc)) / s.d_Pd
+        eta_b = s.eta + tau * s.delta_dir
+        Heta_b = s.Heta + tau * Hdelta
+        stop_b = jnp.where(d_Hd <= 0, NEGATIVE_CURVATURE, EXCEEDED_TR)
+
+        # interior step
+        new_eta = s.eta + alpha * s.delta_dir
+        new_Heta = s.Heta + alpha * Hdelta
+        new_model = _inner(new_eta, grad) + 0.5 * _inner(new_eta, new_Heta)
+        # NaN model counts as increased -> exit with the previous finite eta
+        model_increased = ~(new_model < s.model_value)
+
+        r_new = s.r + alpha * Hdelta
+        r_r = _inner(r_new, r_new)
+        norm_r = jnp.sqrt(r_r)
+        target = norm_r0 * jnp.minimum(norm_r0**p.theta, p.kappa)
+        reached = (s.j >= p.mininner) & (norm_r <= target)
+        stop_target = jnp.where(
+            p.kappa < norm_r0**p.theta,
+            REACHED_TARGET_LINEAR,
+            REACHED_TARGET_SUPERLINEAR,
+        )
+
+        beta = r_r / s.z_r
+        delta_new = -r_new + beta * s.delta_dir
+        e_Pd_new = beta * (s.e_Pd + alpha * s.d_Pd)
+        d_Pd_new = r_r + beta**2 * s.d_Pd
+
+        # resolution order: boundary exit > model increase > target > continue
+        take_boundary = hit_boundary
+        take_modelinc = (~hit_boundary) & model_increased
+        take_target = (~hit_boundary) & (~model_increased) & reached
+
+        def sel(b, x, y):
+            return jnp.where(b, x, y)
+
+        eta_out = sel(take_boundary, eta_b, new_eta)
+        Heta_out = sel(take_boundary, Heta_b, new_Heta)
+        # model-increase exit returns the *previous* eta (trust_region.py:552-554)
+        eta_out = sel(take_modelinc, s.eta, eta_out)
+        Heta_out = sel(take_modelinc, s.Heta, Heta_out)
+
+        done = take_boundary | take_modelinc | take_target
+        stop = jnp.where(
+            take_boundary,
+            stop_b,
+            jnp.where(
+                take_modelinc,
+                MODEL_INCREASED,
+                jnp.where(take_target, stop_target, s.stop),
+            ),
+        )
+
+        return _TCGState(
+            j=s.j + 1,
+            eta=eta_out,
+            Heta=Heta_out,
+            r=sel(done, s.r, r_new),
+            delta_dir=sel(done, s.delta_dir, delta_new),
+            e_Pe=sel(done, s.e_Pe, e_Pe_new),
+            e_Pd=sel(done, s.e_Pd, e_Pd_new),
+            d_Pd=sel(done, s.d_Pd, d_Pd_new),
+            z_r=sel(done, s.z_r, r_r),
+            model_value=sel(done, s.model_value, new_model),
+            stop=stop,
+            done=done,
+        )
+
+    out = jax.lax.while_loop(cond, body, init)
+    return out.eta, out.Heta, out.j, out.stop
+
+
+class _TRState(NamedTuple):
+    k: jnp.ndarray
+    Y: jnp.ndarray
+    fx: jnp.ndarray
+    grad: jnp.ndarray
+    norm_grad: jnp.ndarray
+    Delta: jnp.ndarray
+    done: jnp.ndarray
+    num_inner_total: jnp.ndarray
+
+
+def _solve_single(Y0, cost_fn, grad_fn, hess_fn, p: TRParams, maxinner: int):
+    """One TR solve (trust_region.py:112-434); to be vmapped."""
+    dt = Y0.dtype
+    eps = jnp.finfo(dt).eps
+
+    Delta_bar = p.Delta_bar if p.Delta_bar is not None else 10.0 + Y0.shape[-1]
+    Delta0 = p.Delta0 if p.Delta0 is not None else Delta_bar / 8.0
+    mingradnorm = p.mingradnorm
+    if mingradnorm is None:
+        mingradnorm = 0.5e-9 if dt == jnp.float64 else 2e-6
+
+    fx0 = cost_fn(Y0)
+    g0 = grad_fn(Y0)
+    init = _TRState(
+        k=jnp.zeros((), jnp.int32),
+        Y=Y0,
+        fx=fx0,
+        grad=g0,
+        norm_grad=jnp.sqrt(_inner(g0, g0)),
+        Delta=jnp.full((), Delta0, dt),
+        done=jnp.zeros((), bool),
+        num_inner_total=jnp.zeros((), jnp.int32),
+    )
+
+    def cond(s: _TRState):
+        return ~s.done
+
+    def body(s: _TRState):
+        eta, Heta, numit, stop_inner = _tcg(
+            lambda v: hess_fn(s.Y, v), s.grad, s.Delta, p, maxinner
+        )
+
+        Y_prop = s.Y + eta  # retraction (fixed_rank_psd_sym.py:137-138)
+        fx_prop = cost_fn(Y_prop)
+
+        # rho with the Conn-Gould-Toint regularization heuristic
+        # (trust_region.py:287-289)
+        rho_reg = jnp.maximum(1.0, jnp.abs(s.fx)) * eps * p.rho_regularization
+        rhonum = s.fx - fx_prop + rho_reg
+        rhoden = -_inner(s.grad, eta) - 0.5 * _inner(eta, Heta) + rho_reg
+        model_decreased = rhoden >= 0
+        rho = rhonum / rhoden
+
+        shrink = (rho < 0.25) | (~model_decreased) | jnp.isnan(rho)
+        grow = (
+            (~shrink)
+            & (rho > 0.75)
+            & ((stop_inner == NEGATIVE_CURVATURE) | (stop_inner == EXCEEDED_TR))
+        )
+        Delta_new = jnp.where(
+            shrink,
+            s.Delta / 4.0,
+            jnp.where(grow, jnp.minimum(2.0 * s.Delta, Delta_bar), s.Delta),
+        )
+
+        accept = model_decreased & (rho > p.rho_prime)
+        Y_new = jnp.where(accept, Y_prop, s.Y)
+        fx_new = jnp.where(accept, fx_prop, s.fx)
+        g_new = jnp.where(accept, grad_fn(Y_prop), s.grad)
+        norm_grad_new = jnp.where(
+            accept, jnp.sqrt(jnp.sum(g_new * g_new)), s.norm_grad
+        )
+
+        k_new = s.k + 1
+        done = (norm_grad_new < mingradnorm) | (k_new >= p.maxiter)
+
+        return _TRState(
+            k=k_new,
+            Y=Y_new,
+            fx=fx_new,
+            grad=g_new,
+            norm_grad=norm_grad_new,
+            Delta=Delta_new,
+            done=done,
+            num_inner_total=s.num_inner_total + numit,
+        )
+
+    out = jax.lax.while_loop(cond, body, init)
+    return {
+        "Y": out.Y,
+        "cost": out.fx,
+        "gradnorm": out.norm_grad,
+        "iterations": out.k,
+        "num_inner": out.num_inner_total,
+    }
+
+
+def solve(
+    Y0,
+    D_goal,
+    omega,
+    psi_L=None,
+    psi_U=None,
+    params: TRParams = TRParams(),
+):
+    """Batched Riemannian TR solve of the EDM completion problem.
+
+    Parameters
+    ----------
+    Y0 : (..., N, d) initial points (batch leading dims).
+    D_goal : (..., N, N) squared goal distances (batched or unbatched).
+    omega : (N, N) equality mask (static).
+    psi_L, psi_U : (N, N) squared bound matrices or None for no limits.
+
+    Returns dict of per-instance results (Y, cost, gradnorm, iterations).
+    """
+    Y0 = jnp.asarray(Y0)
+    dt = Y0.dtype
+    N, d = Y0.shape[-2], Y0.shape[-1]
+    omega = jnp.asarray(omega, dtype=dt)
+    if psi_L is None:
+        psi_L = jnp.zeros((N, N), dt)
+        psi_U = jnp.zeros((N, N), dt)
+    psi_L = jnp.asarray(psi_L, dtype=dt)
+    psi_U = jnp.asarray(psi_U, dtype=dt)
+    L_mask, U_mask = costs.make_masks(omega, psi_L, psi_U)
+
+    maxinner = params.maxinner if params.maxinner is not None else N * d
+
+    batch = Y0.shape[:-2]
+    D_goal = jnp.broadcast_to(jnp.asarray(D_goal, dtype=dt), batch + (N, N))
+
+    def one(Y0_i, D_goal_i):
+        cost_fn = lambda Y: costs.cost(
+            Y, D_goal_i, omega, psi_L, psi_U, L_mask, U_mask
+        )
+        grad_fn = lambda Y: costs.egrad(
+            Y, D_goal_i, omega, psi_L, psi_U, L_mask, U_mask
+        )
+        hess_fn = lambda Y, v: manifold_proj(
+            Y, costs.ehess(Y, v, D_goal_i, omega, psi_L, psi_U, L_mask, U_mask)
+        )
+        return _solve_single(Y0_i, cost_fn, grad_fn, hess_fn, params, maxinner)
+
+    fn = one
+    for _ in range(len(batch)):
+        fn = jax.vmap(fn)
+    return fn(Y0, D_goal)
+
+
+def generate_initialization(lb, ub, omega, dim, key=None):
+    """Deterministic (or sampled) MDS initialization from smoothed bounds.
+
+    Mirrors RiemannianSolver.generate_initialization
+    (riemannian_solver.py:67-75): D = (lb + 0.9 (ub - lb))^2 -> Gram -> MDS
+    -> linear projection onto R^dim along dominant edge-scatter directions.
+    """
+    D_rand = dgp.sample_distance_matrix(lb, ub, key=key)
+    X = dgp.mds(dgp.gram_from_distance_matrix(D_rand), eps=1e-8)
+    return dgp.linear_projection(X, omega, dim)

@@ -1,0 +1,25 @@
+"""Test configuration: CPU backend with 8 virtual devices, float64 enabled.
+
+Tests run on CPU (multi-device sharding is validated on a virtual mesh per
+SURVEY.md section 4); float64 is enabled so numerical parity with the
+reference's float64 semantics can be asserted tightly. TPU float32 behavior
+is covered by dedicated dtype tests.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+# x64 CPU compiles are slow in this environment; cache compiled programs
+# across test runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/graphik_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)

@@ -1,0 +1,144 @@
+"""Riemannian solver tests: cost calculus vs autodiff, manifold projection
+properties, and end-to-end IK accuracy (reference oracle:
+experiments/simple_ik_examples/test_chain_2d_new.py - pos err < 1e-4).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from graphik_tpu import api
+from graphik_tpu.graphs.problem import ProblemStructure
+from graphik_tpu.robots import kinematics
+from graphik_tpu.robots.templates import planar_from_links
+from graphik_tpu.solvers import costs, riemannian
+from graphik_tpu.solvers.riemannian import TRParams
+from tests.test_kinematics import ur10_template
+
+
+@pytest.fixture(scope="module")
+def planar6():
+    return ProblemStructure.from_template(planar_from_links(np.ones(6)))
+
+
+@pytest.fixture(scope="module")
+def ur10():
+    return ProblemStructure.from_template(ur10_template())
+
+
+def _instance_arrays(ps, seed=0):
+    rng = np.random.RandomState(seed)
+    q_goal = rng.uniform(-np.pi, np.pi, ps.n)
+    ee = int(ps.template.ee[0])
+    T_goal = kinematics.pose(ps.template, jnp.asarray(q_goal), ee)
+    inst = ps.instance(T_goal, smooth=False)
+    omega, psi_L, psi_U = ps.masks()
+    dt = inst["D_goal"].dtype
+    omega = jnp.asarray(omega, dtype=dt)
+    psi_L = jnp.asarray(psi_L, dtype=dt)
+    psi_U = jnp.asarray(psi_U, dtype=dt)
+    L_mask, U_mask = costs.make_masks(omega, psi_L, psi_U)
+    return inst["D_goal"], omega, psi_L, psi_U, L_mask, U_mask, q_goal, T_goal
+
+
+class TestCostCalculus:
+    def test_egrad_matches_autodiff(self, planar6):
+        args = _instance_arrays(planar6)
+        D_goal, omega, psi_L, psi_U, L_mask, U_mask = args[:6]
+        key = jax.random.PRNGKey(0)
+        Y = jax.random.normal(key, (planar6.N, 2))
+        f = lambda Y: costs.cost(Y, D_goal, omega, psi_L, psi_U, L_mask, U_mask)
+        g_auto = jax.grad(f)(Y)
+        g = costs.egrad(Y, D_goal, omega, psi_L, psi_U, L_mask, U_mask)
+        # XLA CPU reassociates reductions; compare at relative scale
+        scale = np.linalg.norm(np.asarray(g_auto))
+        np.testing.assert_allclose(
+            np.asarray(g) / scale, np.asarray(g_auto) / scale, atol=1e-9
+        )
+
+    def test_ehess_matches_autodiff_jvp(self, planar6):
+        args = _instance_arrays(planar6)
+        D_goal, omega, psi_L, psi_U, L_mask, U_mask = args[:6]
+        key = jax.random.PRNGKey(1)
+        k1, k2 = jax.random.split(key)
+        Y = jax.random.normal(k1, (planar6.N, 2))
+        Z = jax.random.normal(k2, (planar6.N, 2))
+        g = lambda Y: costs.egrad(Y, D_goal, omega, psi_L, psi_U, L_mask, U_mask)
+        _, hz_auto = jax.jvp(g, (Y,), (Z,))
+        hz = costs.ehess(Y, Z, D_goal, omega, psi_L, psi_U, L_mask, U_mask)
+        scale = np.linalg.norm(np.asarray(hz_auto))
+        np.testing.assert_allclose(
+            np.asarray(hz) / scale, np.asarray(hz_auto) / scale, atol=1e-9
+        )
+
+    def test_cost_zero_at_truth(self, planar6):
+        D_goal, omega, psi_L, psi_U, L_mask, U_mask, q_goal, _ = _instance_arrays(
+            planar6
+        )
+        Y_true = planar6.realization(jnp.asarray(q_goal))
+        f = costs.cost(Y_true, D_goal, omega, psi_L, psi_U, L_mask, U_mask)
+        assert float(f) < 1e-12
+
+
+class TestManifold:
+    def test_proj_is_horizontal(self):
+        """After projection, Y^T Z - Z^T Y = 0 (the Lyapunov condition)."""
+        key = jax.random.PRNGKey(2)
+        k1, k2 = jax.random.split(key)
+        Y = jax.random.normal(k1, (10, 3))
+        Z = jax.random.normal(k2, (10, 3))
+        H = riemannian.manifold_proj(Y, Z)
+        C = Y.T @ H - H.T @ Y
+        np.testing.assert_allclose(np.asarray(C), 0.0, atol=1e-6)
+
+    def test_proj_idempotent(self):
+        key = jax.random.PRNGKey(3)
+        k1, k2 = jax.random.split(key)
+        Y = jax.random.normal(k1, (8, 3))
+        Z = jax.random.normal(k2, (8, 3))
+        H = riemannian.manifold_proj(Y, Z)
+        H2 = riemannian.manifold_proj(Y, H)
+        np.testing.assert_allclose(np.asarray(H), np.asarray(H2), atol=1e-6)
+
+    def test_proj_removes_vertical(self):
+        """Vertical vectors Y @ Omega (Omega skew) project to ~0."""
+        key = jax.random.PRNGKey(4)
+        Y = jax.random.normal(key, (8, 3))
+        Om = jnp.array([[0.0, 1.0, -0.5], [-1.0, 0.0, 2.0], [0.5, -2.0, 0.0]])
+        V = Y @ Om
+        H = riemannian.manifold_proj(Y, V)
+        np.testing.assert_allclose(np.asarray(H), 0.0, atol=1e-6)
+
+
+class TestEndToEnd:
+    def test_planar_chain_accuracy(self, planar6):
+        """Batched solve of 4 random goals, no-limits path init from zero
+        config: pos error < 1e-4 for all (test_chain_2d_new.py:82)."""
+        ps = planar6
+        key = jax.random.PRNGKey(5)
+        T_goal, _ = api.random_goals(ps, key, (4,))
+        Y_init = ps.realization(jnp.zeros(ps.n))
+        out = api.solve_ik(
+            ps, T_goal, params=TRParams(maxiter=1500), use_limits=False,
+            Y_init=Y_init,
+        )
+        assert np.all(np.asarray(out["e_pos"]) < 1e-4), out["e_pos"]
+
+    def test_planar_chain_with_limits_and_bounds_init(self, planar6):
+        ps = planar6
+        key = jax.random.PRNGKey(6)
+        T_goal, _ = api.random_goals(ps, key, (4,))
+        out = api.solve_ik(ps, T_goal, params=TRParams(maxiter=1500))
+        # limits path: success criterion pos/rot err < 0.01
+        assert np.all(np.asarray(out["e_pos"]) < 1e-2), out["e_pos"]
+        assert np.all(np.asarray(out["e_rot"]) < 1e-2), out["e_rot"]
+
+    def test_ur10_accuracy(self, ur10):
+        key = jax.random.PRNGKey(7)
+        T_goal, _ = api.random_goals(ur10, key, (4,))
+        out = api.solve_ik(ur10, T_goal, params=TRParams(maxiter=2000))
+        assert np.all(np.asarray(out["e_pos"]) < 1e-2), (
+            out["e_pos"], out["e_rot"], out["gradnorm"], out["iterations"],
+        )
+        assert np.all(np.asarray(out["e_rot"]) < 1e-2)
