@@ -84,6 +84,15 @@ def solve_ik(
       q (..., n), Y (..., N, dim), cost, gradnorm, iterations,
       e_pos, e_rot, limit_violation, success (limits ok).
     """
+    # TPU: f32 matmuls default to bf16 passes; distance-geometry optimization
+    # needs true f32 accumulation. Scoped so library users are unaffected.
+    with jax.default_matmul_precision("highest"):
+        return _solve_ik_impl(
+            structure, T_goal, params, use_limits, Y_init, dtype, limit_tol
+        )
+
+
+def _solve_ik_impl(structure, T_goal, params, use_limits, Y_init, dtype, limit_tol):
     inst = structure.instance(T_goal, dtype=dtype, smooth=Y_init is None)
     omega_np, psi_L, psi_U = structure.masks()
     dim = structure.dim

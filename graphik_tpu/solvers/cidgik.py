@@ -1,0 +1,479 @@
+"""CIDGIK: convex-iteration SDP relaxation of the distance program, batched.
+
+Reimplements the reference's CIDGIK path (convex_iteration.py:160-319 +
+sdp_snl.py constraint machinery) TPU-first:
+
+* cvxpy/MOSEK interior point -> a batched two-block ADMM over the product
+  cone (PSD x box), with the affine projection factored once per instance
+  (Cholesky of A A^T) and the cone projection a batched eigh.
+* per-clique chordal decomposition -> the dense union clique (the default
+  used by solve_with_cidgik, convex_iteration.py:296-300); N ~ 13-20 dense
+  PSD matrices are trivial on TPU.
+* rank-d forcing via the closed-form Fantope projection C = U_{d:} U_{d:}^T
+  (convex_iteration.py:43-53), batched.
+
+Geometry of the lifted variable (sdp_snl.py:107-156):
+
+    Z = [[ I_d , X^T ],      X in R^{n_free x d}: free node positions,
+         [ X   , G   ]]      G  = X X^T at a rank-d solution.
+
+Anchored nodes (p0, q0, goal anchors p_ee/q_ee, obstacles) enter the
+constraints linearly through their (per-instance) positions; base nodes
+x, y are removed entirely (convex_iteration.py:178-180).
+
+Per-instance status codes replace exceptions: 0 = FEASIBLE, 1 = INFEASIBLE
+(primal residual did not converge), mirroring utils/constants.py:20-23.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from graphik_tpu.graphs.problem import ProblemStructure
+
+FEASIBLE = 0
+INFEASIBLE = 1
+
+
+@dataclasses.dataclass(eq=False)
+class CidgikCompiled:
+    """Static (per robot+environment) CIDGIK problem template.
+
+    Index conventions: SDP nodes are the problem-graph nodes minus x, y.
+    `free_idx` / `anchor_idx` map into the ProblemStructure node order.
+    Constraint coefficient tables are dense, with per-edge node slots; the
+    per-instance anchor positions are gathered inside jit.
+    """
+
+    structure: ProblemStructure
+    free_idx: np.ndarray  # (n_free,) problem-node indices of free points
+    anchor_idx: np.ndarray  # (n_anchor,) problem-node indices of anchors
+
+    # equality edges (free-free): (m_ff, 2) slots into free list; b = d^2
+    eq_ff: np.ndarray
+    eq_ff_b: np.ndarray
+    # equality edges (free-anchor): (m_fa, 2) = (free slot, anchor slot)
+    eq_fa: np.ndarray
+    eq_fa_d2: np.ndarray  # squared edge distance (static part; goal edges
+    # are recomputed per instance from anchor positions)
+    eq_fa_dynamic: np.ndarray  # bool: recompute d^2 from instance anchors
+
+    # inequality edges: slots + box bounds (squared)
+    in_ff: np.ndarray
+    in_ff_lo: np.ndarray
+    in_ff_hi: np.ndarray
+    in_fa: np.ndarray
+    in_fa_lo: np.ndarray
+    in_fa_hi: np.ndarray
+
+    @property
+    def d(self) -> int:
+        return self.structure.dim
+
+    @property
+    def n_free(self) -> int:
+        return len(self.free_idx)
+
+    @property
+    def s(self) -> int:  # lifted matrix size
+        return self.d + self.n_free
+
+    @property
+    def m_eq(self) -> int:
+        d = self.d
+        return d * (d + 1) // 2 + len(self.eq_ff) + len(self.eq_fa)
+
+    @property
+    def m_in(self) -> int:
+        return len(self.in_ff) + len(self.in_fa)
+
+
+def compile_cidgik(ps: ProblemStructure) -> CidgikCompiled:
+    """Host-side constraint assembly (sdp_snl.py:201-398 semantics)."""
+    n = ps.n
+    dim = ps.dim
+    assert dim == 3, "CIDGIK is defined for revolute (3D) graphs"
+
+    # SDP nodes: everything except x, y (convex_iteration.py:178-180)
+    sdp_nodes = [i for i in range(ps.N) if i not in (ps.idx_x, ps.idx_y)]
+
+    # anchors: statically positioned nodes (p0, q0, obstacles) + goal nodes
+    anchor = set()
+    for i in sdp_nodes:
+        if ps.anchor_mask[i]:
+            anchor.add(i)
+    free = [i for i in sdp_nodes if i not in anchor]
+    anchor = sorted(anchor)
+    free_slot = {node: k for k, node in enumerate(free)}
+    anchor_slot = {node: k for k, node in enumerate(anchor)}
+
+    goal_anchor = set()
+    for ee in ps.template.ee:
+        goal_anchor.add(ps.idx_p(int(ee)))
+        goal_anchor.add(ps.idx_q(int(ee)))
+
+    eq_ff, eq_ff_b = [], []
+    eq_fa, eq_fa_d2, eq_fa_dyn = [], [], []
+    in_ff, in_ff_lo, in_ff_hi = [], [], []
+    in_fa, in_fa_lo, in_fa_hi = [], [], []
+
+    for a in range(ps.N):
+        for b in range(a + 1, ps.N):
+            if a not in free_slot and a not in anchor_slot:
+                continue
+            if b not in free_slot and b not in anchor_slot:
+                continue
+            both_anchor = a in anchor_slot and b in anchor_slot
+            if both_anchor:
+                continue  # constant constraints carry no information
+            if ps.omega_struct[a, b]:
+                d2 = float(ps.D_struct[a, b])
+                if a in free_slot and b in free_slot:
+                    eq_ff.append((free_slot[a], free_slot[b]))
+                    eq_ff_b.append(d2)
+                else:
+                    f, anc = (a, b) if a in free_slot else (b, a)
+                    dynamic = anc in goal_anchor
+                    eq_fa.append((free_slot[f], anchor_slot[anc]))
+                    eq_fa_d2.append(d2)
+                    eq_fa_dyn.append(dynamic)
+            elif ps.bounded_mask[a, b]:
+                lo = float(ps.check_L[a, b]) ** 2
+                hi = float(ps.check_U[a, b]) ** 2
+                if a in free_slot and b in free_slot:
+                    in_ff.append((free_slot[a], free_slot[b]))
+                    in_ff_lo.append(lo)
+                    in_ff_hi.append(hi)
+                else:
+                    f, anc = (a, b) if a in free_slot else (b, a)
+                    in_fa.append((free_slot[f], anchor_slot[anc]))
+                    in_fa_lo.append(lo)
+                    in_fa_hi.append(hi)
+
+    def arr(x, dtype=float):
+        return np.asarray(x, dtype=dtype).reshape(len(x), -1) if len(x) else np.zeros((0, 2), dtype=dtype)
+
+    return CidgikCompiled(
+        structure=ps,
+        free_idx=np.asarray(free, dtype=np.int64),
+        anchor_idx=np.asarray(anchor, dtype=np.int64),
+        eq_ff=arr(eq_ff, np.int64),
+        eq_ff_b=np.asarray(eq_ff_b, dtype=float),
+        eq_fa=arr(eq_fa, np.int64),
+        eq_fa_d2=np.asarray(eq_fa_d2, dtype=float),
+        eq_fa_dynamic=np.asarray(eq_fa_dyn, dtype=bool),
+        in_ff=arr(in_ff, np.int64),
+        in_ff_lo=np.asarray(in_ff_lo, dtype=float),
+        in_ff_hi=np.asarray(in_ff_hi, dtype=float),
+        in_fa=arr(in_fa, np.int64),
+        in_fa_lo=np.asarray(in_fa_lo, dtype=float),
+        in_fa_hi=np.asarray(in_fa_hi, dtype=float),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Constraint operator (dense batched linear algebra, no explicit A matrices)
+# ---------------------------------------------------------------------------
+
+def _constraint_matrices(comp: CidgikCompiled, anchors_pos, dtype):
+    """Materialize the (m, s, s) symmetric constraint tensor + rhs/boxes.
+
+    anchors_pos: (n_anchor, d) per-instance anchor positions.
+    Returns (A_eq (m_eq,s,s), b_eq (m_eq,), A_in (m_in,s,s), lo, hi).
+    """
+    d = comp.d
+    s = comp.s
+    nf = comp.n_free
+
+    mats = []
+    rhs = []
+
+    # identity block: Z[i, j] = delta_ij for i <= j < d (sdp_snl.py:140-156)
+    for i in range(d):
+        for j in range(i, d):
+            A = np.zeros((s, s))
+            A[i, j] += 0.5
+            A[j, i] += 0.5
+            mats.append(A)
+            rhs.append(1.0 if i == j else 0.0)
+    A_id = jnp.asarray(np.stack(mats), dtype=dtype)
+    b_id = jnp.asarray(np.asarray(rhs), dtype=dtype)
+
+    def ff_mats(pairs):
+        out = np.zeros((len(pairs), s, s))
+        for k, (u, v) in enumerate(pairs):
+            out[k, d + u, d + u] = 1.0
+            out[k, d + v, d + v] = 1.0
+            out[k, d + u, d + v] = -1.0
+            out[k, d + v, d + u] = -1.0
+        return out
+
+    def fa_mats(pairs, anchors_pos):
+        # G_uu - 2 a^T X_u  (the ||a||^2 constant moves to the rhs)
+        m = len(pairs)
+        out = jnp.zeros((m, s, s), dtype=dtype)
+        if m == 0:
+            return out
+        u = jnp.asarray(pairs[:, 0])
+        asl = jnp.asarray(pairs[:, 1])
+        a_pos = anchors_pos[asl]  # (m, d)
+        out = out.at[jnp.arange(m), d + u, d + u].set(1.0)
+        out = out.at[jnp.arange(m)[:, None], d + u[:, None], jnp.arange(d)[None, :]].set(
+            -a_pos
+        )
+        out = out.at[jnp.arange(m)[:, None], jnp.arange(d)[None, :], d + u[:, None]].set(
+            -a_pos
+        )
+        return out
+
+    A_eq_parts = [A_id]
+    b_eq_parts = [b_id]
+    if len(comp.eq_ff):
+        A_eq_parts.append(jnp.asarray(ff_mats(comp.eq_ff), dtype=dtype))
+        b_eq_parts.append(jnp.asarray(comp.eq_ff_b, dtype=dtype))
+    if len(comp.eq_fa):
+        A_fa = fa_mats(comp.eq_fa, anchors_pos)
+        A_eq_parts.append(A_fa)
+        asl = jnp.asarray(comp.eq_fa[:, 1])
+        a_norm2 = jnp.sum(anchors_pos[asl] ** 2, axis=-1)
+        d2_static = jnp.asarray(comp.eq_fa_d2, dtype=dtype)
+        # dynamic goal edges: recompute the edge length from instance anchors?
+        # Structure edges touching goal anchors keep their static rigid
+        # length (the goal only moves the anchor), so d2_static is correct
+        # for all of them; b = d^2 - ||a||^2.
+        b_eq_parts.append(d2_static - a_norm2)
+    A_eq = jnp.concatenate(A_eq_parts, axis=0)
+    b_eq = jnp.concatenate(b_eq_parts, axis=0)
+
+    A_in_parts = []
+    lo_parts = []
+    hi_parts = []
+    if len(comp.in_ff):
+        A_in_parts.append(jnp.asarray(ff_mats(comp.in_ff), dtype=dtype))
+        lo_parts.append(jnp.asarray(comp.in_ff_lo, dtype=dtype))
+        hi_parts.append(jnp.asarray(comp.in_ff_hi, dtype=dtype))
+    if len(comp.in_fa):
+        A_in_parts.append(fa_mats(comp.in_fa, anchors_pos))
+        asl = jnp.asarray(comp.in_fa[:, 1])
+        a_norm2 = jnp.sum(anchors_pos[asl] ** 2, axis=-1)
+        lo_parts.append(jnp.asarray(comp.in_fa_lo, dtype=dtype) - a_norm2)
+        hi_parts.append(jnp.asarray(comp.in_fa_hi, dtype=dtype) - a_norm2)
+    if A_in_parts:
+        A_in = jnp.concatenate(A_in_parts, axis=0)
+        lo = jnp.concatenate(lo_parts, axis=0)
+        hi = jnp.concatenate(hi_parts, axis=0)
+    else:
+        A_in = jnp.zeros((0, s, s), dtype=dtype)
+        lo = jnp.zeros((0,), dtype=dtype)
+        hi = jnp.zeros((0,), dtype=dtype)
+
+    # SCS-style row normalization: unit-Frobenius constraint matrices keep
+    # the ADMM operator well conditioned across edge length scales.
+    def rownorm(A):
+        return jnp.sqrt(jnp.maximum(jnp.sum(A * A, axis=(-2, -1)), 1e-12))
+
+    n_eq = rownorm(A_eq)
+    A_eq = A_eq / n_eq[:, None, None]
+    b_eq = b_eq / n_eq
+    if A_in.shape[0]:
+        n_in = rownorm(A_in)
+        A_in = A_in / n_in[:, None, None]
+        lo = lo / n_in
+        hi = hi / n_in
+    return A_eq, b_eq, A_in, lo, hi
+
+
+# ---------------------------------------------------------------------------
+# Batched conic ADMM:  min <C,Z>  s.t. A_eq(Z)=b, lo <= A_in(Z) <= hi, Z >= 0
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class CidgikParams:
+    max_outer: int = 10  # convex-iteration budget (convex_iteration.py:164)
+    admm_iters: int = 2000  # per SDP solve (cap; stops early on admm_tol)
+    admm_tol: float = 1e-7  # primal-dual residual target per solve
+    relax: float = 1.6  # ADMM over-relaxation
+    rho: float = 1.0  # ADMM penalty
+    abs_tol: float = 1e-6  # eig-sum/cost tolerances (convex_iteration.py:169-171)
+    rel_tol: float = 1e-3
+    feas_tol: float = 1e-4  # primal residual -> FEASIBLE/INFEASIBLE
+
+
+def _solve_sdp_admm(A_eq, b_eq, A_in, lo, hi, C, Z0, s0, u0, params):
+    """One linear-cost SDP solve via two-block ADMM (single instance).
+
+    Splitting: P = (Z, t) with the affine set {A_eq(Z)=b, A_in(Z)-t=0} and
+    the cone set PSD x [lo, hi]. The affine projection uses a Cholesky of
+    the constraint Gram matrix, computed once per call.
+    """
+    m_eq = A_eq.shape[0]
+    m_in = A_in.shape[0]
+    s = A_eq.shape[-1]
+    rho = params.rho
+
+    # Gram of the combined operator Abar(Z, t) = [A_eq(Z); A_in(Z) - t]
+    A_all = jnp.concatenate([A_eq, A_in], axis=0)  # (m, s, s)
+    Gmm = jnp.einsum("mij,nij->mn", A_all, A_all)
+    if m_in:
+        Gmm = Gmm.at[m_eq:, m_eq:].add(jnp.eye(m_in, dtype=Gmm.dtype))
+    Gmm = Gmm + 1e-9 * jnp.trace(Gmm) / Gmm.shape[0] * jnp.eye(
+        Gmm.shape[0], dtype=Gmm.dtype
+    )
+    chol = jax.scipy.linalg.cho_factor(Gmm)
+
+    def affine_project(Z, t):
+        r = jnp.concatenate(
+            [jnp.einsum("mij,ij->m", A_eq, Z) - b_eq,
+             jnp.einsum("mij,ij->m", A_in, Z) - t]
+            if m_in
+            else [jnp.einsum("mij,ij->m", A_eq, Z) - b_eq]
+        )
+        y = jax.scipy.linalg.cho_solve(chol, r)
+        Z_new = Z - jnp.einsum("m,mij->ij", y, A_all)
+        t_new = t + y[m_eq:] if m_in else t
+        return Z_new, t_new
+
+    def cone_project(W, t):
+        lam, Q = jnp.linalg.eigh(W)
+        lam = jnp.maximum(lam, 0.0)
+        Wp = (Q * lam[None, :]) @ Q.T
+        tp = jnp.clip(t, lo, hi) if m_in else t
+        return Wp, tp
+
+    alpha = params.relax  # over-relaxation
+
+    def cond(carry):
+        Z, t, Uz, ut, k, res = carry
+        return (res > params.admm_tol) & (k < params.admm_iters)
+
+    def body(carry):
+        Z, t, Uz, ut, k, _ = carry
+        # prox of <C,Z> + affine indicator at (W - U): shift by C/rho, project
+        Z1, t1 = affine_project(Z - Uz - C / rho, t - ut)
+        # over-relaxed cone projection
+        Zr = alpha * Z1 + (1.0 - alpha) * Z
+        tr = alpha * t1 + (1.0 - alpha) * t
+        Z2, t2 = cone_project(Zr + Uz, tr + ut)
+        Uz_new = Uz + Zr - Z2
+        ut_new = ut + tr - t2
+        res = jnp.sqrt(
+            jnp.sum((Z1 - Z2) ** 2) + (jnp.sum((t1 - t2) ** 2) if m_in else 0.0)
+        )
+        return (Z2, t2, Uz_new, ut_new, k + 1, res)
+
+    init = (Z0, s0, u0[0], u0[1], jnp.zeros((), jnp.int32), jnp.asarray(jnp.inf, Z0.dtype))
+    Z, t, Uz, ut, _, _ = jax.lax.while_loop(cond, body, init)
+
+    # primal feasibility of the returned cone-feasible iterate
+    r_eq = jnp.einsum("mij,ij->m", A_eq, Z) - b_eq
+    feas = jnp.max(jnp.abs(r_eq)) if m_eq else jnp.zeros((), Z.dtype)
+    if m_in:
+        v = jnp.einsum("mij,ij->m", A_in, Z)
+        feas = jnp.maximum(
+            feas, jnp.max(jnp.maximum(lo - v, 0.0) + jnp.maximum(v - hi, 0.0))
+        )
+    return Z, t, (Uz, ut), feas
+
+
+def _fantope(Z, d):
+    """Closed-form Fantope projection C = U_{d:} U_{d:}^T
+    (convex_iteration.py:43-53) and the excess-rank eigenvalue sum."""
+    lam, Q = jnp.linalg.eigh(Z)  # ascending
+    n_small = Z.shape[-1] - d
+    U = Q[..., :n_small]  # all but the top-d eigenvectors
+    C = U @ jnp.swapaxes(U, -1, -2)
+    eig_sum = jnp.sum(lam[..., :n_small], axis=-1)
+    return C, eig_sum
+
+
+def solve_cidgik(
+    comp: CidgikCompiled,
+    T_goal,
+    params: CidgikParams = CidgikParams(),
+    dtype=None,
+):
+    """Batched CIDGIK solve (solve_with_cidgik, convex_iteration.py:279-319).
+
+    T_goal: (..., 4, 4) or (..., n_ee, 4, 4); leading dims batch.
+    Returns dict: q, points (all problem nodes), status, eig_sum, feas.
+    """
+    ps = comp.structure
+    pos_all = ps.goal_positions(T_goal, dtype=dtype)  # (..., N, dim)
+    dt = pos_all.dtype
+    d = comp.d
+    s = comp.s
+
+    anchors_pos = pos_all[..., jnp.asarray(comp.anchor_idx), :]
+
+    def single(anc_pos, pos_nodes):
+        A_eq, b_eq, A_in, lo, hi = _constraint_matrices(comp, anc_pos, dt)
+
+        Z = jnp.zeros((s, s), dtype=dt).at[:d, :d].set(jnp.eye(d, dtype=dt))
+        t = jnp.clip(jnp.zeros(A_in.shape[0], dtype=dt), lo, hi)
+        U = (jnp.zeros((s, s), dtype=dt), jnp.zeros(A_in.shape[0], dtype=dt))
+        C = jnp.eye(s, dtype=dt)  # identity init (convex_iteration.py:215)
+
+        def outer(carry, _):
+            Z, t, U, C, last_cost, done, feas_prev, eig_prev = carry
+            Z_new, t_new, U_new, feas = _solve_sdp_admm(
+                A_eq, b_eq, A_in, lo, hi, C, Z, t, U, params
+            )
+            C_new, eig_sum = _fantope(Z_new, d)
+            cost = jnp.sum(C * Z_new)
+            change = jnp.abs(last_cost - cost)
+            rel = change / jnp.maximum(jnp.abs(last_cost), 1e-30)
+            new_done = done | (
+                (change <= params.abs_tol)
+                | (cost <= params.abs_tol)
+                | (rel < params.rel_tol)
+            )
+            # frozen lanes keep state
+            keep = lambda old, new: jnp.where(done, old, new)
+            return (
+                keep(Z, Z_new),
+                keep(t, t_new),
+                jax.tree.map(keep, U, U_new),
+                keep(C, C_new),
+                keep(last_cost, cost),
+                new_done,
+                keep(feas_prev, feas),
+                keep(eig_prev, eig_sum),
+            ), None
+
+        init = (
+            Z, t, U, C,
+            jnp.asarray(1e6, dt),
+            jnp.zeros((), bool),
+            jnp.asarray(jnp.inf, dt),
+            jnp.asarray(jnp.inf, dt),
+        )
+        (Z, t, U, C, cost, done, feas, eig_sum), _ = jax.lax.scan(
+            outer, init, None, length=params.max_outer
+        )
+
+        X = Z[d:, :d]  # free point positions (global frame; anchors fix gauge)
+        points = pos_nodes
+        points = points.at[jnp.asarray(comp.free_idx), :].set(X)
+        status = jnp.where(feas <= params.feas_tol, FEASIBLE, INFEASIBLE)
+        return points, status, eig_sum, feas
+
+    fn = single
+    batch = pos_all.shape[:-2]
+    for _ in range(len(batch)):
+        fn = jax.vmap(fn)
+    with jax.default_matmul_precision("highest"):
+        points, status, eig_sum, feas = fn(anchors_pos, pos_all)
+        q = ps.joint_variables(points, T_goal)
+    return {
+        "q": q,
+        "points": points,
+        "status": status,
+        "eig_sum": eig_sum,
+        "feas": feas,
+    }

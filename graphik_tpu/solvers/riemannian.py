@@ -55,28 +55,41 @@ class TRParams:
     mininner: int = 1
     Delta_bar: Optional[float] = None  # default: typicaldist = 10 + d
     Delta0: Optional[float] = None  # default: Delta_bar / 8
+    # The reference's model-increase guard exists for nonlinear Hessian
+    # approximations (trust_region.py:476-489); our Hessian-vector product is
+    # exact and linear, where tCG decreases the model monotonically in exact
+    # arithmetic. In float32 the guard trips on rounding noise and stalls
+    # convergence, so it is off by default.
+    check_model_decrease: bool = False
 
 
 def manifold_proj(Y, Z):
     """Horizontal-space projection on the PSDFixedRank quotient.
 
-    Solves X Om + Om X = C with X = Y^T Y, C = Y^T Z - Z^T Y via the
-    eigendecomposition of X; returns Z - Y Om. Batched, any d.
+    Solves the Lyapunov system X Om + Om X = C with X = Y^T Y,
+    C = Y^T Z - Z^T Y, and returns Z - Y Om. The d^2 x d^2 system is the
+    batched generalization of the reference's hand-unrolled 9x9 solve
+    (fixed_rank_psd_sym.py:91-113); a small Tikhonov shift keeps it finite
+    when Y is (nearly) rank deficient, where the quotient geometry
+    degenerates (fixed_rank_psd_sym.py:40-43).
     """
+    d = Y.shape[-1]
     X = jnp.einsum("...ki,...kj->...ij", Y, Y)
     C = jnp.einsum("...ki,...kj->...ij", Y, Z) - jnp.einsum(
         "...ki,...kj->...ij", Z, Y
     )
-    lam, Q = jnp.linalg.eigh(X)
-    Cq = jnp.einsum("...ki,...kl,...lj->...ij", Q, C, Q)
-    denom = lam[..., :, None] + lam[..., None, :]
-    # Pseudo-inverse on near-null eigenpairs: when Y is (nearly) rank
-    # deficient the quotient geometry degenerates (fixed_rank_psd_sym.py:40-43);
-    # zeroing those Omega components keeps the projection finite.
-    lam_max = jnp.maximum(jnp.max(lam, axis=-1, keepdims=True), 1e-30)[..., None]
-    tiny = denom < 1e-9 * lam_max
-    Om_q = jnp.where(tiny, 0.0, Cq / jnp.where(tiny, 1.0, denom))
-    Om = jnp.einsum("...ik,...kl,...jl->...ij", Q, Om_q, Q)
+    eye = jnp.eye(d, dtype=Y.dtype)
+    # A[(ij),(kl)] = X[i,k] delta[j,l] + delta[i,k] X[j,l]  (row-major vec)
+    A = (
+        X[..., :, None, :, None] * eye[None, :, None, :]
+        + eye[:, None, :, None] * X[..., None, :, None, :]
+    ).reshape(X.shape[:-2] + (d * d, d * d))
+    reg = 10 * jnp.finfo(Y.dtype).eps * (
+        jnp.trace(X, axis1=-2, axis2=-1)[..., None, None] + 1e-30
+    )
+    A = A + reg * jnp.eye(d * d, dtype=Y.dtype)
+    vec_om = jnp.linalg.solve(A, C.reshape(C.shape[:-2] + (d * d,)))
+    Om = vec_om.reshape(C.shape)
     return Z - Y @ Om
 
 
@@ -152,9 +165,13 @@ def _tcg(hess_fn, grad, Delta, p: TRParams, maxinner: int):
         # interior step
         new_eta = s.eta + alpha * s.delta_dir
         new_Heta = s.Heta + alpha * Hdelta
-        new_model = _inner(new_eta, grad) + 0.5 * _inner(new_eta, new_Heta)
-        # NaN model counts as increased -> exit with the previous finite eta
-        model_increased = ~(new_model < s.model_value)
+        if p.check_model_decrease:
+            new_model = _inner(new_eta, grad) + 0.5 * _inner(new_eta, new_Heta)
+            # NaN model counts as increased -> exit with previous finite eta
+            model_increased = ~(new_model < s.model_value)
+        else:
+            new_model = s.model_value
+            model_increased = jnp.zeros((), bool)
 
         r_new = s.r + alpha * Hdelta
         r_r = _inner(r_new, r_new)

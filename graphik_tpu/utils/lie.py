@@ -321,26 +321,27 @@ def _se3_curlyQ(rho, w):
     th2 = th * th
     small = th < _EPS
     safe = jnp.where(small, 1.0, th)
-    c1 = _cosc(th)  # (1-cos)/th^2
-    c2 = _one_minus_sinc_over_sq(th)  # (th - sin)/th^3
+    c2 = _one_minus_sinc_over_sq(th)  # a3 = (th - sin)/th^3, limit 1/6
+    # c3 = (th^2/2 + cos - 1)/th^4 = -a4, limit 1/24
     c3 = jnp.where(
-        small,
-        1.0 / 24.0 - th2 / 720.0,
-        (1.0 - th2 / 2.0 - jnp.cos(safe)) / safe**4 * (-1.0) + 0.0,
+        small, 1.0 / 24.0 - th2 / 720.0, (th2 / 2.0 + jnp.cos(safe) - 1.0) / safe**4
     )
-    # c3 = (th^2/2 + cos - 1)/th^4, limit 1/24
-    c3 = jnp.where(small, 1.0 / 24.0 - th2 / 720.0, (th2 / 2.0 + jnp.cos(safe) - 1.0) / safe**4)
-    # c4 = (th - sin - th^3/6)/th^5 ~ -1/120
-    c4 = jnp.where(small, -1.0 / 120.0 + th2 / 5040.0, (safe - jnp.sin(safe) - safe**3 / 6.0) / safe**5)
-    c1 = c1[..., None, None]
+    # c4 = a5 = (th - sin - th^3/6)/th^5, limit -1/120
+    c4 = jnp.where(
+        small,
+        -1.0 / 120.0 + th2 / 5040.0,
+        (safe - jnp.sin(safe) - safe**3 / 6.0) / safe**5,
+    )
     c2 = c2[..., None, None]
     c3 = c3[..., None, None]
     c4 = c4[..., None, None]
+    # Barfoot eq. 7.86: Q = V/2 + a3(WV+VW+WVW) - a4(W^2V+VW^2-3WVW)
+    #                     - (a4-3a5)/2 (WVW^2+W^2VW); here c3 = -a4.
     Q = (
         0.5 * V
         + c2 * (WV + VW + WVW)
-        - c3 * (W @ WV + VW @ W - 3.0 * WVW)
-        - 0.5 * c4 * (WVW @ W + W @ WVW)
+        + c3 * (W @ WV + VW @ W - 3.0 * WVW)
+        + 0.5 * (c3 + 3.0 * c4) * (WVW @ W + W @ WVW)
     )
     return Q
 

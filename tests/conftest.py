@@ -8,7 +8,10 @@ is covered by dedicated dtype tests.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the sandbox presets JAX_PLATFORMS=axon (remote TPU tunnel) and
+# a sitecustomize imports jax at interpreter startup, so the env var is
+# already bound - use config.update, which works post-import.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,6 +20,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # x64 CPU compiles are slow in this environment; cache compiled programs
 # across test runs.

@@ -1,0 +1,92 @@
+"""CIDGIK tests: constraint residuals at FK-true points (reference
+tests/test_sdp_snl.py strategy) and end-to-end convex-iteration solves.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from graphik_tpu import api
+from graphik_tpu.graphs.problem import ProblemStructure
+from graphik_tpu.robots import kinematics
+from graphik_tpu.solvers import cidgik
+from graphik_tpu.solvers.cidgik import CidgikParams, compile_cidgik
+from tests.test_kinematics import ur10_template
+
+
+@pytest.fixture(scope="module")
+def ur10():
+    return ProblemStructure.from_template(ur10_template())
+
+
+@pytest.fixture(scope="module")
+def comp(ur10):
+    return compile_cidgik(ur10)
+
+
+def lifted_from_points(comp, X_free):
+    d = comp.d
+    s = comp.s
+    Z = np.zeros((s, s))
+    Z[:d, :d] = np.eye(d)
+    Z[d:, :d] = X_free
+    Z[:d, d:] = X_free.T
+    Z[d:, d:] = X_free @ X_free.T
+    return Z
+
+
+class TestConstraints:
+    def test_residuals_zero_at_fk_points(self, ur10, comp):
+        """tr(A Z) - b = 0 at FK-true configurations (test_sdp_snl.py:21-91)."""
+        rng = np.random.RandomState(0)
+        for _ in range(3):
+            q = rng.uniform(-np.pi, np.pi, 6)
+            T_goal = kinematics.pose(ur10.template, jnp.asarray(q), 6)
+            pos = np.asarray(ur10.realization(jnp.asarray(q)))
+
+            anchors_pos = jnp.asarray(pos[comp.anchor_idx])
+            A_eq, b_eq, A_in, lo, hi = cidgik._constraint_matrices(
+                comp, anchors_pos, jnp.float64
+            )
+            Z = lifted_from_points(comp, pos[comp.free_idx])
+            r = np.einsum("mij,ij->m", np.asarray(A_eq), Z) - np.asarray(b_eq)
+            assert np.abs(r).max() < 1e-8, np.abs(r).max()
+
+            # inequalities hold at feasible configurations
+            v = np.einsum("mij,ij->m", np.asarray(A_in), Z)
+            assert np.all(v >= np.asarray(lo) - 1e-6)
+            assert np.all(v <= np.asarray(hi) + 1e-6)
+
+    def test_counts(self, comp):
+        assert comp.n_free == 10  # p1..p5, q1..q5
+        assert comp.m_eq > 20
+        assert comp.m_in > 0
+
+
+class TestEndToEnd:
+    def test_ur10_cidgik_solves(self, ur10, comp):
+        """Convex iteration recovers configurations reaching the goal pose.
+
+        The reference has no automated CIDGIK solver assertion
+        (SURVEY.md section 4) - this is stronger than the reference suite.
+        """
+        key = jax.random.PRNGKey(0)
+        T_goal, _ = api.random_goals(ur10, key, (3,))
+        out = cidgik.solve_cidgik(
+            comp, jnp.asarray(T_goal),
+            params=CidgikParams(admm_iters=600, max_outer=8),
+        )
+        e_pos, e_rot = api.pose_error(ur10, out["q"], jnp.asarray(T_goal))
+        # success criterion: pos/rot err < 0.01 on at least 2/3 goals
+        # (CIDGIK's success rate is below 100% even with MOSEK)
+        hits = (np.asarray(e_pos) < 1e-2) & (np.asarray(e_rot) < 1e-2)
+        assert hits.sum() >= 2, (e_pos, e_rot, out["eig_sum"], out["feas"])
+
+    def test_status_infeasible_for_unreachable(self, ur10, comp):
+        T_far = np.eye(4)
+        T_far[:3, 3] = [10.0, 0.0, 0.0]
+        out = cidgik.solve_cidgik(
+            comp, jnp.asarray(T_far), params=CidgikParams(admm_iters=300)
+        )
+        assert int(out["status"]) == cidgik.INFEASIBLE

@@ -51,10 +51,13 @@ class TestCostCalculus:
         f = lambda Y: costs.cost(Y, D_goal, omega, psi_L, psi_U, L_mask, U_mask)
         g_auto = jax.grad(f)(Y)
         g = costs.egrad(Y, D_goal, omega, psi_L, psi_U, L_mask, U_mask)
-        # XLA CPU reassociates reductions; compare at relative scale
+        # The reference's gradient/Hessian convention is exactly HALF the
+        # true derivative of its own cost (jgrad vs jcost, costs.py:19-35 -
+        # a consistent scaling of both grad and Hessian, so Newton/TR steps
+        # are unchanged). We mirror it for parity.
         scale = np.linalg.norm(np.asarray(g_auto))
         np.testing.assert_allclose(
-            np.asarray(g) / scale, np.asarray(g_auto) / scale, atol=1e-9
+            2.0 * np.asarray(g) / scale, np.asarray(g_auto) / scale, atol=1e-9
         )
 
     def test_ehess_matches_autodiff_jvp(self, planar6):
