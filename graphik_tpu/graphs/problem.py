@@ -214,6 +214,43 @@ class ProblemStructure:
         """Rebuild without obstacle nodes (graph_base.py:213-217)."""
         return ProblemStructure.from_template(self.template, self.axis_length)
 
+    def distance_bounds_from_sampling(
+        self, key=None, n_samples: int = 2000
+    ) -> "ProblemStructure":
+        """Empirical all-pairs distance bounds from random configurations.
+
+        Batched equivalent of graph_revolute.py:329-350: sample n_samples
+        random configurations, take elementwise min/max distances, install
+        them as [LOWER, UPPER] on every node pair; pairs with max-min < 1e-5
+        become exact edges. Returns an updated copy.
+        """
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        q = kinematics.random_configuration(self.template, key, (n_samples,))
+        pos = self.realization(q)  # (S, N, dim)
+        D = jnp.sqrt(jnp.maximum(dgp.distance_matrix_from_pos(pos), 0.0))
+        D_min = np.asarray(jnp.min(D, axis=0))
+        D_max = np.asarray(jnp.max(D, axis=0))
+
+        L = D_min.copy()
+        U = D_max.copy()
+        edge_mask = np.ones_like(self.edge_mask, dtype=bool)
+        np.fill_diagonal(edge_mask, False)
+        near_exact = (D_max - D_min) < 1e-5
+        omega = self.omega_struct | (near_exact & edge_mask)
+        D_struct = self.D_struct.copy()
+        new_exact = near_exact & edge_mask & ~self.omega_struct
+        D_struct[new_exact] = (0.5 * (D_min + D_max))[new_exact] ** 2
+
+        return dataclasses.replace(
+            self,
+            omega_struct=omega,
+            D_struct=D_struct,
+            L_edges=L,
+            U_edges=U,
+            edge_mask=edge_mask,
+        )
+
     # ------------------------------------------------------------------
     # device-side: instance assembly
     # ------------------------------------------------------------------

@@ -28,6 +28,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from graphik_tpu.ops.linalg import spd_solve_unrolled
 from graphik_tpu.solvers import costs
 from graphik_tpu.utils import dgp
 
@@ -88,7 +89,7 @@ def manifold_proj(Y, Z):
         jnp.trace(X, axis1=-2, axis2=-1)[..., None, None] + 1e-30
     )
     A = A + reg * jnp.eye(d * d, dtype=Y.dtype)
-    vec_om = jnp.linalg.solve(A, C.reshape(C.shape[:-2] + (d * d,)))
+    vec_om = spd_solve_unrolled(A, C.reshape(C.shape[:-2] + (d * d,)))
     Om = vec_om.reshape(C.shape)
     return Z - Y @ Om
 

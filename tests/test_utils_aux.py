@@ -1,0 +1,87 @@
+"""Tests for auxiliary utilities: chordal completion, stats, environments."""
+
+import numpy as np
+import pytest
+
+from graphik_tpu.utils import chordal, environments, stats
+
+
+class TestChordal:
+    def _is_chordal(self, adj):
+        """Brute-force chordality check: every cycle >= 4 has a chord."""
+        N = adj.shape[0]
+        # check all 4-cycles without chords
+        for a in range(N):
+            for b in range(N):
+                if not adj[a, b]:
+                    continue
+                for c in range(N):
+                    if c in (a, b) or not adj[b, c] or adj[a, c]:
+                        continue
+                    for d in range(N):
+                        if d in (a, b, c):
+                            continue
+                        if adj[c, d] and adj[d, a] and not adj[b, d]:
+                            return False
+        return True
+
+    def test_cycle_gets_filled(self):
+        # 5-cycle: needs 2 fill edges
+        N = 5
+        adj = np.zeros((N, N), dtype=bool)
+        for i in range(N):
+            adj[i, (i + 1) % N] = adj[(i + 1) % N, i] = True
+        chordal_adj, order = chordal.complete_to_chordal(adj)
+        assert self._is_chordal(chordal_adj)
+        assert chordal_adj.sum() > adj.sum()
+
+    def test_already_chordal_unchanged(self):
+        # a tree is chordal: no fill edges
+        N = 6
+        adj = np.zeros((N, N), dtype=bool)
+        for i in range(1, N):
+            p = (i - 1) // 2
+            adj[i, p] = adj[p, i] = True
+        chordal_adj, _ = chordal.complete_to_chordal(adj)
+        np.testing.assert_array_equal(chordal_adj, adj)
+
+    def test_cliques_cover_edges(self):
+        rng = np.random.RandomState(0)
+        N = 8
+        adj = rng.rand(N, N) < 0.3
+        adj = np.triu(adj, 1)
+        adj = adj | adj.T
+        cliques = chordal.chordal_cliques(adj)
+        for i in range(N):
+            for j in range(i + 1, N):
+                if adj[i, j]:
+                    assert any(i in c and j in c for c in cliques)
+
+
+class TestStats:
+    def test_normal_approximation(self):
+        p, rad = stats.bernoulli_confidence_normal_approximation(100, 90)
+        assert p == pytest.approx(0.9)
+        assert 0.05 < rad < 0.07  # z=1.96 * sqrt(0.09/100) ~ 0.059
+
+    def test_wilson(self):
+        lo, hi = stats.wilson(100, 90)
+        assert 0.8 < lo < 0.9 < hi < 1.0
+
+    def test_jeffreys(self):
+        p, rad = stats.bernoulli_confidence_jeffreys(100, 99)
+        assert 0.9 < p < 1.0
+        assert 0.0 < rad < 0.05
+
+    def test_ndtri(self):
+        assert stats._ndtri(0.975) == pytest.approx(1.959964, abs=1e-4)
+        assert stats._ndtri(0.5) == pytest.approx(0.0, abs=1e-9)
+
+
+class TestEnvironments:
+    def test_table_environment(self):
+        obs = environments.table_environment()
+        assert len(obs) == 100  # 64 tabletop + 4*9 legs
+        for center, radius in obs:
+            assert center.shape == (3,)
+            assert radius > 0
