@@ -45,19 +45,25 @@ def main():
     T_goal, _ = api.random_goals(ps, key, (batch,))
     T_goal = jnp.asarray(T_goal)
 
+    def sync(tree):
+        # Forcing a host transfer guarantees completion even where the
+        # platform's block_until_ready is asynchronous (axon tunnel).
+        jax.block_until_ready(tree)
+        np.asarray(jax.tree_util.tree_leaves(tree)[0])
+
     # Warmup / compile
     out = solver(T_goal)
-    jax.block_until_ready(out)
+    sync(out)
 
     times = []
     for r in range(reps):
         kr = jax.random.PRNGKey(r + 1)
         Tg, _ = api.random_goals(ps, kr, (batch,))
         Tg = jnp.asarray(Tg)
-        jax.block_until_ready(Tg)
+        sync(Tg)
         t0 = time.perf_counter()
         out = solver(Tg)
-        jax.block_until_ready(out)
+        sync(out)
         times.append(time.perf_counter() - t0)
 
     t = min(times)

@@ -20,7 +20,9 @@ import jax.numpy as jnp
 
 from graphik_tpu.graphs.problem import ProblemStructure
 from graphik_tpu.robots import kinematics
+from graphik_tpu.solvers import local as local_solver
 from graphik_tpu.solvers import riemannian
+from graphik_tpu.solvers.local import LocalParams
 from graphik_tpu.solvers.riemannian import TRParams
 from graphik_tpu.utils import lie
 
@@ -69,6 +71,8 @@ def solve_ik(
     Y_init=None,
     dtype=None,
     limit_tol: float = 1e-6,
+    polish: bool = True,
+    polish_params: Optional[LocalParams] = None,
 ):
     """Solve batched IK instances with the Riemannian solver.
 
@@ -88,11 +92,13 @@ def solve_ik(
     # needs true f32 accumulation. Scoped so library users are unaffected.
     with jax.default_matmul_precision("highest"):
         return _solve_ik_impl(
-            structure, T_goal, params, use_limits, Y_init, dtype, limit_tol
+            structure, T_goal, params, use_limits, Y_init, dtype, limit_tol,
+            polish, polish_params,
         )
 
 
-def _solve_ik_impl(structure, T_goal, params, use_limits, Y_init, dtype, limit_tol):
+def _solve_ik_impl(structure, T_goal, params, use_limits, Y_init, dtype, limit_tol,
+                   polish, polish_params):
     inst = structure.instance(T_goal, dtype=dtype, smooth=Y_init is None)
     omega_np, psi_L, psi_U = structure.masks()
     dim = structure.dim
@@ -120,6 +126,12 @@ def _solve_ik_impl(structure, T_goal, params, use_limits, Y_init, dtype, limit_t
     max_viol, limits_ok = structure.check_distance_limits(pos_fk, tol=limit_tol)
     e_pos, e_rot = pose_error(structure, q, T_goal)
 
+    if polish:
+        q, e_pos, e_rot, max_viol, limits_ok = polish_solution(
+            structure, q, T_goal, e_pos, e_rot, max_viol, limits_ok,
+            limit_tol=limit_tol, params=polish_params,
+        )
+
     return {
         "q": q,
         "Y": sol["Y"],
@@ -132,6 +144,46 @@ def _solve_ik_impl(structure, T_goal, params, use_limits, Y_init, dtype, limit_t
         "limit_violation": max_viol,
         "success": limits_ok,
     }
+
+
+def polish_solution(
+    structure,
+    q,
+    T_goal,
+    e_pos,
+    e_rot,
+    max_viol,
+    limits_ok,
+    limit_tol: float = 1e-6,
+    params: Optional[LocalParams] = None,
+):
+    """Joint-space Gauss-Newton polish (SURVEY.md section 7.2 step 8).
+
+    The Riemannian solve lands in the right basin at f32 gradient-noise
+    accuracy (~cm); a few LM steps on the pose log residual drive the error
+    to f32 machine precision. Polished q is taken per instance only when it
+    stays limit/obstacle-feasible and improves pose error.
+
+    Returns (q, e_pos, e_rot, max_viol, limits_ok) with per-instance
+    selection between the input and polished solutions.
+    """
+    pp = params or LocalParams(maxiter=30, tol_grad=1e-8)
+    pol = local_solver.solve_local(structure, T_goal, q, pp)
+    q_p = pol["q"]
+    viol_p, ok_p = structure.check_distance_limits(
+        structure.realization(q_p), tol=limit_tol
+    )
+    e_pos_p, e_rot_p = pose_error(structure, q_p, T_goal)
+    big = jnp.asarray(1e3, e_pos.dtype)
+    score0 = e_pos + e_rot + jnp.where(limits_ok, 0.0, big)
+    score1 = e_pos_p + e_rot_p + jnp.where(ok_p, 0.0, big)
+    take = score1 < score0
+    q = jnp.where(take[..., None], q_p, q)
+    e_pos = jnp.where(take, e_pos_p, e_pos)
+    e_rot = jnp.where(take, e_rot_p, e_rot)
+    max_viol = jnp.where(take, viol_p, max_viol)
+    limits_ok = jnp.where(take, ok_p, limits_ok)
+    return q, e_pos, e_rot, max_viol, limits_ok
 
 
 def solve_ik_jit(structure: ProblemStructure, **fixed_kwargs):

@@ -76,6 +76,7 @@ def solve_ik_restarts(
     params: TRParams = TRParams(),
     use_limits: bool = True,
     dtype=None,
+    polish: bool = True,
 ):
     """Multi-restart solve with per-goal best-solution selection.
 
@@ -86,6 +87,16 @@ def solve_ik_restarts(
 
     Returns the selected per-goal result dict plus "restart_index".
     """
+    # TPU: f32 matmuls default to bf16 passes (same scoping as api.solve_ik).
+    with jax.default_matmul_precision("highest"):
+        return _solve_ik_restarts_impl(
+            structure, T_goal, key, n_restarts, params, use_limits, dtype, polish
+        )
+
+
+def _solve_ik_restarts_impl(
+    structure, T_goal, key, n_restarts, params, use_limits, dtype, polish
+):
     inst = structure.instance(T_goal, dtype=dtype, smooth=True)
     omega_np, psi_L, psi_U = structure.masks()
     dim = structure.dim
@@ -114,6 +125,10 @@ def solve_ik_restarts(
         pos_fk = structure.realization(q)
         viol, ok = structure.check_distance_limits(pos_fk)
         e_pos, e_rot = api.pose_error(structure, q, T_goal)
+        if polish:
+            q, e_pos, e_rot, viol, ok = api.polish_solution(
+                structure, q, T_goal, e_pos, e_rot, viol, ok
+            )
         return {
             "q": q,
             "Y": sol["Y"],

@@ -37,15 +37,36 @@ class LocalParams:
 
 
 def _pose_residual(tpl, ee, T_goal, q):
-    """Body-frame pose residual and its Jacobian (6,) / (6, n)."""
-    T = kinematics.pose(tpl, q, ee)
-    J = kinematics.jacobian(tpl, q, ee)  # spatial, (6, n)
-    T_inv = lie.se3_inv(T)
-    e = lie.se3_log(T_inv @ T_goal)
-    J_e = lie.se3_inv_left_jacobian(e) @ lie.se3_adjoint(T_inv) @ J
-    # d(e)/dq = -J_e per the chain rule through T(q)
-    # (joint_angle_solver.py:79: jac = -2 J_e^T e for cost e^T e)
-    return e, -J_e
+    """Body-frame pose residual and its Jacobian: (tw,) / (tw, n)."""
+    if tpl.dim == 3:
+        T = kinematics.pose(tpl, q, ee)
+        J = kinematics.jacobian(tpl, q, ee)  # spatial, (6, n)
+        T_inv = lie.se3_inv(T)
+        e = lie.se3_log(T_inv @ T_goal)
+        J_e = lie.se3_inv_left_jacobian(e) @ lie.se3_adjoint(T_inv) @ J
+        # d(e)/dq = -J_e per the chain rule through T(q)
+        # (joint_angle_solver.py:79: jac = -2 J_e^T e for cost e^T e)
+        return e, -J_e
+
+    # Planar: residual via se2_log; Jacobian by forward-mode AD (n is tiny).
+    def res(qq):
+        T = kinematics.pose(tpl, qq, ee)
+        return lie.se2_log(lie.se2_inv(T) @ T_goal)
+
+    return res(q), jax.jacfwd(res)(q)
+
+
+def _stacked_pose_residuals(tpl, T_goal, q):
+    """Concatenate pose residuals over every end effector.
+
+    T_goal: (n_ee, hd, hd). Returns ((tw * n_ee,), (tw * n_ee, n)).
+    """
+    es, Js = [], []
+    for e_idx, ee in enumerate(tpl.ee):
+        e, J = _pose_residual(tpl, int(ee), T_goal[e_idx], q)
+        es.append(e)
+        Js.append(J)
+    return jnp.concatenate(es), jnp.concatenate(Js, axis=0)
 
 
 def _obstacle_residuals(ps: ProblemStructure, q, weight):
@@ -72,18 +93,18 @@ def solve_local(
     q0,
     params: LocalParams = LocalParams(),
 ):
-    """Batched LM solve. T_goal (..., 4, 4) (single end effector), q0 (..., n).
+    """Batched LM solve over all end effectors.
 
-    Returns dict(q, cost, iterations, e_pos-compatible residual norm).
+    T_goal: (..., hd, hd) or (..., n_ee, hd, hd); q0: (..., n).
+    Returns dict(q, cost, iterations).
     """
     tpl = ps.template
-    ee = int(tpl.ee[0])
     dt = jnp.asarray(q0).dtype
     lb = jnp.asarray(tpl.lb[1:], dtype=dt)
     ub = jnp.asarray(tpl.ub[1:], dtype=dt)
 
     def residuals(q, Tg):
-        e, J_e = _pose_residual(tpl, ee, Tg, q)
+        e, J_e = _stacked_pose_residuals(tpl, Tg, q)
         if ps.n_obstacles:
             r_obs = _obstacle_residuals(ps, q, params.obstacle_weight)
             J_obs = jax.jacfwd(
@@ -123,11 +144,11 @@ def solve_local(
         return q, jnp.sum(r**2), k
 
     T_goal = jnp.asarray(T_goal, dtype=dt)
-    if T_goal.ndim >= 4 and T_goal.shape[-3] == len(tpl.ee):
-        T_goal = T_goal[..., 0, :, :]  # single-ee convenience
+    q0 = jnp.asarray(q0)
+    if T_goal.ndim == q0.ndim + 1:  # (..., hd, hd): add the ee axis
+        T_goal = T_goal[..., None, :, :]
 
     fn = single
-    q0 = jnp.asarray(q0)
     for _ in range(q0.ndim - 1):
         fn = jax.vmap(fn)
     with jax.default_matmul_precision("highest"):

@@ -20,8 +20,21 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-# Threshold below which Taylor expansions replace trig closed forms.
-_EPS = 1e-8
+# Guard against literal division by zero only (value-level, dtype-safe).
+_TINY = 1e-9
+
+
+def _taylor_threshold(dtype):
+    """Angle below which Taylor series replace trig closed forms.
+
+    The cancellation error of forms like (theta - sin theta)/theta^3 grows
+    as eps/theta^2, so the switch must happen well above sqrt(eps) — in
+    float32 that means theta ~ O(1) (switching near eps NaNs/blows up for
+    theta in [eps, sqrt(eps)]). In float64 the closed forms are accurate to
+    ~1e-11 relative already at theta = 0.1, where the theta^6-order series
+    below are exact to eps.
+    """
+    return 1.0 if jnp.finfo(dtype).eps > 1e-10 else 0.1
 
 
 # ---------------------------------------------------------------------------
@@ -48,26 +61,30 @@ def so3_vee(W):
 
 
 def _sinc(theta):
-    """sin(theta)/theta, stable at 0."""
-    small = jnp.abs(theta) < _EPS
+    """sin(theta)/theta, stable at 0 (no cancellation; only the 0/0 guard)."""
+    small = jnp.abs(theta) < _TINY
     safe = jnp.where(small, 1.0, theta)
-    return jnp.where(small, 1.0 - theta**2 / 6.0, jnp.sin(safe) / safe)
+    return jnp.where(small, 1.0, jnp.sin(safe) / safe)
 
 
 def _cosc(theta):
-    """(1 - cos(theta))/theta^2, stable at 0."""
-    small = jnp.abs(theta) < _EPS
+    """(1 - cos(theta))/theta^2 = 2 sin^2(theta/2)/theta^2, stable everywhere.
+
+    The half-angle form has no cancellation for any theta.
+    """
+    small = jnp.abs(theta) < _TINY
     safe = jnp.where(small, 1.0, theta)
-    return jnp.where(small, 0.5 - theta**2 / 24.0, (1.0 - jnp.cos(safe)) / safe**2)
+    s = jnp.sin(safe / 2.0)
+    return jnp.where(small, 0.5, 2.0 * (s / safe) * (s / safe))
 
 
 def _one_minus_sinc_over_sq(theta):
     """(1 - sinc(theta))/theta^2 = (theta - sin theta)/theta^3, stable at 0."""
-    small = jnp.abs(theta) < _EPS
+    t2 = theta * theta
+    small = jnp.abs(theta) < _taylor_threshold(jnp.asarray(theta).dtype)
     safe = jnp.where(small, 1.0, theta)
-    return jnp.where(
-        small, 1.0 / 6.0 - theta**2 / 120.0, (safe - jnp.sin(safe)) / safe**3
-    )
+    series = 1.0 / 6.0 - t2 / 120.0 + t2 * t2 / 5040.0 - t2 * t2 * t2 / 362880.0
+    return jnp.where(small, series, (safe - jnp.sin(safe)) / safe**3)
 
 
 def so3_exp(w):
@@ -157,12 +174,14 @@ def so3_inv_left_jacobian(w):
     theta = jnp.linalg.norm(w, axis=-1)
     W = so3_hat(w)
     W2 = W @ W
-    small = theta < _EPS
+    small = theta < _taylor_threshold(jnp.asarray(theta).dtype)
     safe = jnp.where(small, 1.0, theta)
     # coefficient of W2: (1/theta^2)(1 - sinc/(2 cosc)) with stable limit 1/12
+    t2 = theta * theta
+    series = 1.0 / 12.0 + t2 / 720.0 + t2 * t2 / 30240.0 + t2 * t2 * t2 / 1209600.0
     cot_term = jnp.where(
         small,
-        1.0 / 12.0 + theta**2 / 720.0,
+        series,
         (1.0 / safe**2) * (1.0 - (_sinc(safe) / (2.0 * _cosc(safe)))),
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
@@ -319,17 +338,20 @@ def _se3_curlyQ(rho, w):
     VW = V @ W
     WVW = WV @ W
     th2 = th * th
-    small = th < _EPS
+    small = th < _taylor_threshold(jnp.asarray(th).dtype)
     safe = jnp.where(small, 1.0, th)
+    th4 = th2 * th2
     c2 = _one_minus_sinc_over_sq(th)  # a3 = (th - sin)/th^3, limit 1/6
     # c3 = (th^2/2 + cos - 1)/th^4 = -a4, limit 1/24
     c3 = jnp.where(
-        small, 1.0 / 24.0 - th2 / 720.0, (th2 / 2.0 + jnp.cos(safe) - 1.0) / safe**4
+        small,
+        1.0 / 24.0 - th2 / 720.0 + th4 / 40320.0 - th4 * th2 / 3628800.0,
+        (th2 / 2.0 + jnp.cos(safe) - 1.0) / safe**4,
     )
     # c4 = a5 = (th - sin - th^3/6)/th^5, limit -1/120
     c4 = jnp.where(
         small,
-        -1.0 / 120.0 + th2 / 5040.0,
+        -1.0 / 120.0 + th2 / 5040.0 - th4 / 362880.0 + th4 * th2 / 39916800.0,
         (safe - jnp.sin(safe) - safe**3 / 6.0) / safe**5,
     )
     c2 = c2[..., None, None]

@@ -126,3 +126,59 @@ def test_jit_and_grad():
     g = jax.grad(f)(jnp.array([0.1, 0.2, 0.3]))
     assert g.shape == (3,)
     assert not np.any(np.isnan(g))
+
+
+class TestFloat32SmallAngles:
+    """float32 regression: the trig helper closed forms must not be used in
+    the cancellation region theta in [eps, sqrt(eps)], where e.g.
+    (1 - cos theta)/theta^2 evaluates to 0/theta^2 or NaN in f32 and the
+    joint-space LM polish stalls at ~1e-3 pose error (see solvers/local.py).
+    """
+
+    def _angles(self):
+        return jnp.asarray(
+            [0.0, 1e-8, 1e-6, 1e-4, 3e-4, 1e-3, 1e-2, 0.09, 0.11, 0.5, 0.99,
+             1.01, 2.0, 3.0],
+            dtype=jnp.float32,
+        )
+
+    def test_se3_log_exp_roundtrip_small_f32(self):
+        th = self._angles()
+        axis = jnp.asarray([0.26726124, 0.53452248, 0.80178373], jnp.float32)
+        w = th[:, None] * axis
+        v = jnp.asarray([[0.3, -0.2, 0.5]], jnp.float32) * jnp.ones_like(w)
+        xi = jnp.concatenate([v, w], axis=-1)
+        xi2 = lie.se3_log(lie.se3_exp(xi))
+        assert np.all(np.isfinite(np.asarray(xi2)))
+        np.testing.assert_allclose(np.asarray(xi2), np.asarray(xi), atol=5e-6)
+
+    def test_inv_left_jacobian_finite_f32(self):
+        th = self._angles()
+        axis = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
+        w = th[:, None] * axis
+        Ji = lie.so3_inv_left_jacobian(w)
+        J = lie.so3_left_jacobian(w)
+        assert np.all(np.isfinite(np.asarray(Ji)))
+        prod = np.asarray(J @ Ji)
+        np.testing.assert_allclose(
+            prod, np.broadcast_to(np.eye(3, dtype=np.float32), prod.shape),
+            atol=2e-6,
+        )
+
+    def test_se3_inv_left_jacobian_finite_f32(self):
+        th = self._angles()
+        axis = jnp.asarray([0.26726124, 0.53452248, 0.80178373], jnp.float32)
+        w = th[:, None] * axis
+        v = jnp.asarray([[0.3, -0.2, 0.5]], jnp.float32) * jnp.ones_like(w)
+        xi = jnp.concatenate([v, w], axis=-1)
+        out = lie.se3_inv_left_jacobian(xi)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_f64_precision_preserved(self):
+        th = jnp.asarray([1e-3, 0.05, 0.09, 0.11, 0.3, 1.0, 2.0], jnp.float64)
+        axis = jnp.asarray([0.26726124, 0.53452248, 0.80178373], jnp.float64)
+        w = th[:, None] * axis
+        v = jnp.asarray([[0.3, -0.2, 0.5]], jnp.float64) * jnp.ones_like(w)
+        xi = jnp.concatenate([v, w], axis=-1)
+        xi2 = lie.se3_log(lie.se3_exp(xi))
+        np.testing.assert_allclose(np.asarray(xi2), np.asarray(xi), atol=1e-13)
