@@ -19,6 +19,9 @@ import numpy as np
 BASELINE_PER_CHIP = 1250.0  # 10k/s on v5e-8 (BASELINE.md)
 
 
+T_START = time.perf_counter()
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -40,6 +43,8 @@ def main():
     params = TRParams(maxiter=maxiter)
 
     solver = api.solve_ik_jit(ps, params=params)
+    t_setup = time.perf_counter()
+    print(f"[bench] setup done t={t_setup - T_START:.1f}s", file=sys.stderr, flush=True)
 
     key = jax.random.PRNGKey(0)
     T_goal, _ = api.random_goals(ps, key, (batch,))
@@ -54,6 +59,8 @@ def main():
     # Warmup / compile
     out = solver(T_goal)
     sync(out)
+    print(f"[bench] warmup+compile done t={time.perf_counter() - T_START:.1f}s",
+          file=sys.stderr, flush=True)
 
     times = []
     for r in range(reps):
@@ -65,6 +72,7 @@ def main():
         out = solver(Tg)
         sync(out)
         times.append(time.perf_counter() - t0)
+        print(f"[bench] rep {r} took {times[-1]:.1f}s", file=sys.stderr, flush=True)
 
     t = min(times)
     stats = {k: float(v) for k, v in summarize(out).items()}

@@ -27,6 +27,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from graphik_tpu.ops.linalg import spd_solve_unrolled
 from graphik_tpu.solvers import costs
@@ -62,6 +63,10 @@ class TRParams:
     # arithmetic. In float32 the guard trips on rounding noise and stalls
     # convergence, so it is off by default.
     check_model_decrease: bool = False
+    # Cost backend: "dense" = masked (N, N) linear algebra (solvers/costs.py);
+    # "edge" = compiled incidence-matrix edge list (ops/edge.py) - same math,
+    # E-compressed data movement (the reference's numba edge-kernel analogue).
+    backend: str = "dense"
 
 
 def manifold_proj(Y, Z):
@@ -367,17 +372,38 @@ def solve(
     batch = Y0.shape[:-2]
     D_goal = jnp.broadcast_to(jnp.asarray(D_goal, dtype=dt), batch + (N, N))
 
-    def one(Y0_i, D_goal_i):
-        cost_fn = lambda Y: costs.cost(
-            Y, D_goal_i, omega, psi_L, psi_U, L_mask, U_mask
+    if params.backend == "edge":
+        from graphik_tpu.ops import edge as edge_ops
+
+        ep = edge_ops.build_edge_problem(
+            omega, psi_L, psi_U,
+            np.asarray(L_mask, np.float64), np.asarray(U_mask, np.float64),
+            dim=d,
         )
-        grad_fn = lambda Y: costs.egrad(
-            Y, D_goal_i, omega, psi_L, psi_U, L_mask, U_mask
-        )
-        hess_fn = lambda Y, v: manifold_proj(
-            Y, costs.ehess(Y, v, D_goal_i, omega, psi_L, psi_U, L_mask, U_mask)
-        )
-        return _solve_single(Y0_i, cost_fn, grad_fn, hess_fn, params, maxinner)
+
+        def one(Y0_i, D_goal_i):
+            dg_e = ep.edge_values(D_goal_i)
+            cost_fn = lambda Y: edge_ops.cost(ep, Y, dg_e)
+            grad_fn = lambda Y: edge_ops.egrad(ep, Y, dg_e)
+            hess_fn = lambda Y, v: manifold_proj(
+                Y, edge_ops.ehess(ep, Y, v, dg_e)
+            )
+            return _solve_single(Y0_i, cost_fn, grad_fn, hess_fn, params,
+                                 maxinner)
+    else:
+        def one(Y0_i, D_goal_i):
+            cost_fn = lambda Y: costs.cost(
+                Y, D_goal_i, omega, psi_L, psi_U, L_mask, U_mask
+            )
+            grad_fn = lambda Y: costs.egrad(
+                Y, D_goal_i, omega, psi_L, psi_U, L_mask, U_mask
+            )
+            hess_fn = lambda Y, v: manifold_proj(
+                Y, costs.ehess(Y, v, D_goal_i, omega, psi_L, psi_U, L_mask,
+                               U_mask)
+            )
+            return _solve_single(Y0_i, cost_fn, grad_fn, hess_fn, params,
+                                 maxinner)
 
     fn = one
     for _ in range(len(batch)):

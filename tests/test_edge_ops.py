@@ -110,3 +110,28 @@ def test_edge_problem_compiles_active_set_only():
     assert np.all(ep.C[: ep.E].sum(axis=1) == 0)
     assert np.all(np.abs(ep.C[: ep.E]).sum(axis=1) == 2)
     assert np.all(ep.C[ep.E:] == 0)
+
+
+def test_solver_edge_backend_matches_dense():
+    """End-to-end TR solve: backend='edge' reproduces backend='dense'."""
+    from graphik_tpu.solvers import riemannian
+    from graphik_tpu.solvers.riemannian import TRParams
+
+    ps = ProblemStructure.from_template(planar_from_links(np.ones(6)))
+    rng = np.random.RandomState(2)
+    q_goal = rng.uniform(-np.pi, np.pi, ps.n)
+    T_goal = kinematics.pose(ps.template, jnp.asarray(q_goal),
+                             int(ps.template.ee[0]))
+    inst = ps.instance(T_goal, smooth=False)
+    omega, psi_L, psi_U = ps.masks()
+    Y0 = jnp.asarray(rng.randn(2, ps.N, ps.dim))
+    D_goal = jnp.broadcast_to(inst["D_goal"], (2, ps.N, ps.N))
+
+    out_d = riemannian.solve(Y0, D_goal, omega, psi_L, psi_U,
+                             params=TRParams(maxiter=60, backend="dense"))
+    out_e = riemannian.solve(Y0, D_goal, omega, psi_L, psi_U,
+                             params=TRParams(maxiter=60, backend="edge"))
+    np.testing.assert_allclose(np.asarray(out_e["cost"]),
+                               np.asarray(out_d["cost"]), rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(out_e["Y"]), np.asarray(out_d["Y"]),
+                               rtol=1e-5, atol=1e-7)
