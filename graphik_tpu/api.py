@@ -197,6 +197,83 @@ def solve_ik_jit(structure: ProblemStructure, **fixed_kwargs):
     return jax.jit(fn)
 
 
+def make_solver(
+    structure: ProblemStructure,
+    params: TRParams = TRParams(),
+    use_limits: bool = True,
+    dtype=None,
+    limit_tol: float = 1e-6,
+    polish: bool = True,
+    polish_params: Optional[LocalParams] = None,
+):
+    """Stage-jitted solver: same result as solve_ik_jit, far cheaper compile.
+
+    XLA compile time for the monolithic pipeline program is superlinear in
+    program size (the round-1 bench spent ~12 min compiling what the
+    individual stages compile in ~15 s), so the pipeline is jitted as three
+    stages - (instance+init), solve, (recover+validate+polish) - chained on
+    the host. Stage boundaries carry batched device arrays; the host
+    round-trips are dispatch-only (no transfers).
+    """
+    omega_np, psi_L, psi_U = structure.masks()
+    dim = structure.dim
+
+    @jax.jit
+    def stage_prepare(T_goal):
+        with jax.default_matmul_precision("highest"):
+            inst = structure.instance(T_goal, dtype=dtype, smooth=True)
+            Y0 = riemannian.generate_initialization(
+                inst["lb"], inst["ub"], jnp.asarray(omega_np), dim
+            )
+            return inst["D_goal"], Y0
+
+    @jax.jit
+    def stage_solve(Y0, D_goal):
+        with jax.default_matmul_precision("highest"):
+            return riemannian.solve(
+                Y0,
+                D_goal,
+                omega_np,
+                psi_L if use_limits else None,
+                psi_U if use_limits else None,
+                params=params,
+            )
+
+    @jax.jit
+    def stage_finish(Y, T_goal, sol):
+        with jax.default_matmul_precision("highest"):
+            q = structure.joint_variables(Y, T_goal)
+            pos_fk = structure.realization(q)
+            max_viol, limits_ok = structure.check_distance_limits(
+                pos_fk, tol=limit_tol
+            )
+            e_pos, e_rot = pose_error(structure, q, T_goal)
+            if polish:
+                q, e_pos, e_rot, max_viol, limits_ok = polish_solution(
+                    structure, q, T_goal, e_pos, e_rot, max_viol, limits_ok,
+                    limit_tol=limit_tol, params=polish_params,
+                )
+            return {
+                "q": q,
+                "Y": Y,
+                "e_pos": e_pos,
+                "e_rot": e_rot,
+                "limit_violation": max_viol,
+                "success": limits_ok,
+                **{k: sol[k] for k in
+                   ("cost", "gradnorm", "iterations", "num_inner")},
+            }
+
+    def solver(T_goal):
+        T_goal = jnp.asarray(T_goal)
+        D_goal, Y0 = stage_prepare(T_goal)
+        sol = stage_solve(Y0, D_goal)
+        Tg = T_goal.astype(sol["Y"].dtype)
+        return stage_finish(sol["Y"], Tg, sol)
+
+    return solver
+
+
 def random_goals(structure: ProblemStructure, key, batch_shape=()):
     """Random reachable goal poses via FK at random configurations.
 

@@ -36,20 +36,31 @@ _i64 = ctypes.c_int64
 
 
 def _so_path() -> str:
-    cache = os.environ.get(
-        "GRAPHIK_TPU_NATIVE_CACHE",
-        os.path.join(tempfile.gettempdir(), "graphik_tpu_native"),
-    )
-    os.makedirs(cache, exist_ok=True)
+    # Per-user cache dir, mode 0700: a world-writable shared path would let
+    # another local user pre-plant a library that ctypes would dlopen.
+    cache = os.environ.get("GRAPHIK_TPU_NATIVE_CACHE")
+    if cache is None:
+        base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+            tempfile.gettempdir(), f"graphik_tpu_native_{os.getuid()}"
+        )
+        cache = (
+            os.path.join(base, "graphik_tpu")
+            if os.environ.get("XDG_CACHE_HOME")
+            else base
+        )
+    os.makedirs(cache, mode=0o700, exist_ok=True)
     return os.path.join(cache, "costgrd.so")
 
 
 def _build() -> Optional[ctypes.CDLL]:
     so = _so_path()
     if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(_SRC):
+        # Compile to a unique temporary name, then atomically publish with
+        # os.replace() so concurrent builders never dlopen a truncated file.
+        tmp = f"{so}.{os.getpid()}.tmp"
         cmd = [
             "g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-fopenmp",
-            "-o", so, _SRC,
+            "-o", tmp, _SRC,
         ]
         try:
             subprocess.run(cmd, check=True, capture_output=True, text=True)
@@ -64,6 +75,7 @@ def _build() -> Optional[ctypes.CDLL]:
                 global _build_error
                 _build_error = f"{exc}\n{exc2}"
                 return None
+        os.replace(tmp, so)
     lib = ctypes.CDLL(so)
 
     common = [
@@ -92,10 +104,12 @@ def _get() -> ctypes.CDLL:
 
 
 def available() -> bool:
+    # OSError covers ctypes.CDLL load failures (e.g. missing libgomp) so
+    # callers' skip guards degrade gracefully instead of crashing collection.
     try:
         _get()
         return True
-    except RuntimeError:
+    except (RuntimeError, OSError):
         return False
 
 
@@ -123,7 +137,13 @@ def edges_from_masks(
     return ei, ej, sel(omega), sel(psi_L), sel(psi_U), sel(L_mask), sel(U_mask)
 
 
-def _prep(Y, dgoal, ei, ej):
+def _prep(Y, dgoal, ei, ej, *edge_arrays):
+    """Coerce inputs to the exact ABI the C++ kernels assume.
+
+    int64 indices (numpy's nonzero default) or non-contiguous float views
+    would otherwise be reinterpreted raw as int32/f64, producing
+    out-of-bounds scatter writes in gtpu_cost_and_grad.
+    """
     Y = np.ascontiguousarray(Y, np.float64)
     squeeze = Y.ndim == 2
     if squeeze:
@@ -131,9 +151,18 @@ def _prep(Y, dgoal, ei, ej):
     B, N, d = Y.shape
     if d > 3:
         raise ValueError("native kernels support d <= 3")
+    ei = np.ascontiguousarray(ei, np.int32)
+    ej = np.ascontiguousarray(ej, np.int32)
     E = len(ei)
+    if len(ej) != E or any(len(a) != E for a in edge_arrays):
+        raise ValueError("edge arrays must all have the same length E")
+    if E and (ei.max() >= N or ej.max() >= N or ei.min() < 0 or ej.min() < 0):
+        raise ValueError("edge indices out of range for N")
     dgoal = np.ascontiguousarray(np.broadcast_to(dgoal, (B, E)), np.float64)
-    return Y, dgoal, B, N, d, E, squeeze
+    edge_arrays = tuple(
+        np.ascontiguousarray(a, np.float64) for a in edge_arrays
+    )
+    return (Y, dgoal, ei, ej, B, N, d, E, squeeze) + edge_arrays
 
 
 def _ptr(a):
@@ -143,7 +172,9 @@ def _ptr(a):
 def cost(Y, dgoal_e, ei, ej, omega_e, psil_e, psiu_e, lmask_e, umask_e):
     """Batched cost; matches graphik_tpu.solvers.costs.cost to f64 precision."""
     lib = _get()
-    Y, dgoal_e, B, N, d, E, squeeze = _prep(Y, dgoal_e, ei, ej)
+    (Y, dgoal_e, ei, ej, B, N, d, E, squeeze, omega_e, psil_e, psiu_e,
+     lmask_e, umask_e) = _prep(
+        Y, dgoal_e, ei, ej, omega_e, psil_e, psiu_e, lmask_e, umask_e)
     out = np.empty(B, np.float64)
     lib.gtpu_cost(
         _ptr(Y), _ptr(dgoal_e),
@@ -156,7 +187,9 @@ def cost(Y, dgoal_e, ei, ej, omega_e, psil_e, psiu_e, lmask_e, umask_e):
 def cost_and_grad(Y, dgoal_e, ei, ej, omega_e, psil_e, psiu_e, lmask_e,
                   umask_e):
     lib = _get()
-    Y, dgoal_e, B, N, d, E, squeeze = _prep(Y, dgoal_e, ei, ej)
+    (Y, dgoal_e, ei, ej, B, N, d, E, squeeze, omega_e, psil_e, psiu_e,
+     lmask_e, umask_e) = _prep(
+        Y, dgoal_e, ei, ej, omega_e, psil_e, psiu_e, lmask_e, umask_e)
     out_f = np.empty(B, np.float64)
     out_g = np.empty((B, N, d), np.float64)
     lib.gtpu_cost_and_grad(
@@ -172,10 +205,14 @@ def cost_and_grad(Y, dgoal_e, ei, ej, omega_e, psil_e, psiu_e, lmask_e,
 def hess(Y, Z, dgoal_e, ei, ej, omega_e, psil_e, psiu_e, lmask_e, umask_e):
     """Batched Hessian-vector product at Y along Z."""
     lib = _get()
-    Y, dgoal_e, B, N, d, E, squeeze = _prep(Y, dgoal_e, ei, ej)
+    (Y, dgoal_e, ei, ej, B, N, d, E, squeeze, omega_e, psil_e, psiu_e,
+     lmask_e, umask_e) = _prep(
+        Y, dgoal_e, ei, ej, omega_e, psil_e, psiu_e, lmask_e, umask_e)
     Z = np.ascontiguousarray(Z, np.float64)
     if Z.ndim == 2:
         Z = Z[None]
+    if Z.shape != Y.shape:
+        raise ValueError("Z must match Y's shape")
     out_h = np.empty((B, N, d), np.float64)
     lib.gtpu_hess(
         _ptr(Y), _ptr(Z), _ptr(dgoal_e),

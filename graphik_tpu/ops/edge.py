@@ -10,10 +10,14 @@ evaluation becomes a pair of small matmuls that XLA tiles onto the MXU:
     dist  = ||diff||^2     (E,)     squared edge lengths
     grad  = -2 C^T (s * diff)       scatter-add as a matmul
 
-Two interchangeable backends share this compiled form:
-  * pure-JAX functions (work under jit/vmap on any platform), and
-  * a fused Pallas TPU kernel batched over instances (grid over lane tiles),
-    for the hot cost+grad and Hessian-vector products.
+Backends sharing this compiled form:
+  * pure-JAX functions (work under jit/vmap on any platform) - the
+    TRParams(backend="edge") solver path;
+  * per-op fused Pallas kernels below (cost+grad, Hessian-vector) - kept as
+    building blocks / parity oracles;
+  * the production hot path is ops/tr_pallas.py, which fuses the ENTIRE
+    trust-region solve (outer loop + tCG) into one Pallas kernel over this
+    same EdgeProblem form - TRParams(backend="pallas"), the default.
 
 Parity oracles: graphik_tpu.solvers.costs (dense masked path) and
 graphik_tpu.native (C++ f64 kernels).
@@ -81,10 +85,14 @@ def build_edge_problem(omega, psi_L, psi_U, L_mask=None, U_mask=None,
     """
     omega = np.asarray(omega, np.float64)
     N = omega.shape[-1]
-    if L_mask is None:
+    # Each mask defaults independently so a caller-supplied U_mask is never
+    # silently discarded (and L_mask=..., U_mask=None doesn't crash).
+    if L_mask is None or U_mask is None:
         diff = np.asarray(psi_L) != np.asarray(psi_U)
-        L_mask = (diff & (np.asarray(psi_L) > 0)).astype(np.float64)
-        U_mask = (diff & (np.asarray(psi_U) > 0)).astype(np.float64)
+        if L_mask is None:
+            L_mask = (diff & (np.asarray(psi_L) > 0)).astype(np.float64)
+        if U_mask is None:
+            U_mask = (diff & (np.asarray(psi_U) > 0)).astype(np.float64)
     active = (omega != 0) | (np.asarray(L_mask) != 0) | (np.asarray(U_mask) != 0)
     iu = np.triu_indices(N, k=1)
     keep = active[iu]

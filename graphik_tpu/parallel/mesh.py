@@ -112,36 +112,53 @@ def _solve_ik_restarts_impl(
 
     Y0s = jnp.stack([init_for(i, keys[i]) for i in range(n_restarts)])
 
-    def solve_one_restart(Y0):
-        sol = riemannian.solve(
-            Y0,
-            inst["D_goal"],
-            omega_np,
-            psi_L if use_limits else None,
-            psi_U if use_limits else None,
-            params=params,
-        )
-        q = structure.joint_variables(sol["Y"], T_goal)
-        pos_fk = structure.realization(q)
-        viol, ok = structure.check_distance_limits(pos_fk)
-        e_pos, e_rot = api.pose_error(structure, q, T_goal)
-        if polish:
-            q, e_pos, e_rot, viol, ok = api.polish_solution(
-                structure, q, T_goal, e_pos, e_rot, viol, ok
-            )
-        return {
-            "q": q,
-            "Y": sol["Y"],
-            "cost": sol["cost"],
-            "gradnorm": sol["gradnorm"],
-            "iterations": sol["iterations"],
-            "e_pos": e_pos,
-            "e_rot": e_rot,
-            "limit_violation": viol,
-            "success": ok,
-        }
+    # Restarts fold into the instance batch (leading axis R*B) instead of a
+    # vmap over the solver: every backend - including the fused Pallas
+    # kernel, which manages its own batch tiling - sees one flat batch.
+    R = n_restarts
+    batch_shape = inst["D_goal"].shape[:-2]
+    N = inst["D_goal"].shape[-1]
 
-    all_out = jax.vmap(solve_one_restart)(Y0s)  # leading axis: restart
+    def fold(x):
+        inner = x.shape[len(batch_shape):]
+        x = jnp.broadcast_to(x, (R,) + batch_shape + inner)
+        return x.reshape((-1,) + inner)
+
+    def unfold(x):
+        return x.reshape((R,) + batch_shape + x.shape[1:])
+
+    D_goal_f = fold(inst["D_goal"])
+    Y0_f = Y0s.reshape((-1,) + Y0s.shape[1 + len(batch_shape):])
+    T_goal_f = fold(jnp.asarray(T_goal, dtype=Y0s.dtype))
+
+    sol = riemannian.solve(
+        Y0_f,
+        D_goal_f,
+        omega_np,
+        psi_L if use_limits else None,
+        psi_U if use_limits else None,
+        params=params,
+    )
+    q = structure.joint_variables(sol["Y"], T_goal_f)
+    pos_fk = structure.realization(q)
+    viol, ok = structure.check_distance_limits(pos_fk)
+    e_pos, e_rot = api.pose_error(structure, q, T_goal_f)
+    if polish:
+        q, e_pos, e_rot, viol, ok = api.polish_solution(
+            structure, q, T_goal_f, e_pos, e_rot, viol, ok
+        )
+    all_out = {
+        "q": q,
+        "Y": sol["Y"],
+        "cost": sol["cost"],
+        "gradnorm": sol["gradnorm"],
+        "iterations": sol["iterations"],
+        "e_pos": e_pos,
+        "e_rot": e_rot,
+        "limit_violation": viol,
+        "success": ok,
+    }
+    all_out = {k: unfold(v) for k, v in all_out.items()}  # leading axis: restart
 
     # Selection score: feasible first, then pose error (pos + rot).
     score = all_out["e_pos"] + all_out["e_rot"] + jnp.where(

@@ -92,6 +92,26 @@ ALL_MODELS = {
 }
 
 
+def load_planar_chain(n: int, limits: Optional[float] = None,
+                      link_length: float = 1.0):
+    """n-DoF planar chain with unit links, optional symmetric joint limits.
+
+    Mirrors the experiments' random planar-chain harness
+    (reference: experiments/simple_ik_examples/test_chain_2d_new.py:20-41,
+    test_chain_2d_limits_new.py with limits).
+    """
+    from graphik_tpu.robots.templates import planar_from_links
+
+    lengths = np.full(n, float(link_length))
+    if limits is None:
+        tpl = planar_from_links(lengths)
+    else:
+        lb = np.full(n, -float(limits))
+        ub = np.full(n, float(limits))
+        tpl = planar_from_links(lengths, lb=lb, ub=ub)
+    return tpl, ProblemStructure.from_template(tpl)
+
+
 def load_truncated_ur10(n: int):
     """First n links of a UR10 from DH constants (roboturdf.py:374-402)."""
     a = [0, -0.612, -0.5723, 0, 0, 0][:n]

@@ -65,37 +65,85 @@ class TRParams:
     check_model_decrease: bool = False
     # Cost backend: "dense" = masked (N, N) linear algebra (solvers/costs.py);
     # "edge" = compiled incidence-matrix edge list (ops/edge.py) - same math,
-    # E-compressed data movement (the reference's numba edge-kernel analogue).
-    backend: str = "dense"
+    # E-compressed data movement (the reference's numba edge-kernel analogue);
+    # "pallas" = the full TR+tCG loop fused into one Pallas TPU kernel
+    # (ops/tr_pallas.py) - the production hot path (f32; interpret-mode
+    # emulation off-TPU).
+    backend: str = "pallas"
 
 
 def manifold_proj(Y, Z):
     """Horizontal-space projection on the PSDFixedRank quotient.
 
     Solves the Lyapunov system X Om + Om X = C with X = Y^T Y,
-    C = Y^T Z - Z^T Y, and returns Z - Y Om. The d^2 x d^2 system is the
-    batched generalization of the reference's hand-unrolled 9x9 solve
-    (fixed_rank_psd_sym.py:91-113); a small Tikhonov shift keeps it finite
-    when Y is (nearly) rank deficient, where the quotient geometry
-    degenerates (fixed_rank_psd_sym.py:40-43).
+    C = Y^T Z - Z^T Y, and returns Z - Y Om.
+
+    The reference unrolls the full d^2 x d^2 vectorized system
+    (fixed_rank_psd_sym.py:91-113). That is wasteful: C is antisymmetric and
+    X is SPD, so the solution Om is antisymmetric (if Om solves the system,
+    -Om^T solves it too, and the Lyapunov operator is invertible). Restricted
+    to antisymmetric matrices the system has only d(d-1)/2 unknowns - a
+    single scalar for d=2 and a 3x3 SPD solve for d=3. A small Tikhonov
+    shift keeps it finite when Y is (nearly) rank deficient, where the
+    quotient geometry degenerates (fixed_rank_psd_sym.py:40-43).
     """
     d = Y.shape[-1]
     X = jnp.einsum("...ki,...kj->...ij", Y, Y)
     C = jnp.einsum("...ki,...kj->...ij", Y, Z) - jnp.einsum(
         "...ki,...kj->...ij", Z, Y
     )
-    eye = jnp.eye(d, dtype=Y.dtype)
-    # A[(ij),(kl)] = X[i,k] delta[j,l] + delta[i,k] X[j,l]  (row-major vec)
-    A = (
-        X[..., :, None, :, None] * eye[None, :, None, :]
-        + eye[:, None, :, None] * X[..., None, :, None, :]
-    ).reshape(X.shape[:-2] + (d * d, d * d))
     reg = 10 * jnp.finfo(Y.dtype).eps * (
-        jnp.trace(X, axis1=-2, axis2=-1)[..., None, None] + 1e-30
+        jnp.trace(X, axis1=-2, axis2=-1) + 1e-30
     )
-    A = A + reg * jnp.eye(d * d, dtype=Y.dtype)
-    vec_om = spd_solve_unrolled(A, C.reshape(C.shape[:-2] + (d * d,)))
-    Om = vec_om.reshape(C.shape)
+    if d == 2:
+        a = C[..., 0, 1] / (X[..., 0, 0] + X[..., 1, 1] + reg)
+        zero = jnp.zeros_like(a)
+        Om = jnp.stack(
+            [
+                jnp.stack([zero, a], axis=-1),
+                jnp.stack([-a, zero], axis=-1),
+            ],
+            axis=-2,
+        )
+    elif d == 3:
+        # Basis (a, b, c) -> Om = [[0, a, b], [-a, 0, c], [-b, -c, 0]].
+        # (X Om + Om X) upper entries give the symmetric positive-definite
+        # reduced system M (a, b, c)^T = (C12, C13, C23)^T with
+        # M = [[X11+X22, X23, -X13], [X23, X11+X33, X12], [-X13, X12, X22+X33]].
+        x11, x22, x33 = X[..., 0, 0], X[..., 1, 1], X[..., 2, 2]
+        x12, x13, x23 = X[..., 0, 1], X[..., 0, 2], X[..., 1, 2]
+        M = jnp.stack(
+            [
+                jnp.stack([x11 + x22 + reg, x23, -x13], axis=-1),
+                jnp.stack([x23, x11 + x33 + reg, x12], axis=-1),
+                jnp.stack([-x13, x12, x22 + x33 + reg], axis=-1),
+            ],
+            axis=-2,
+        )
+        rhs = jnp.stack(
+            [C[..., 0, 1], C[..., 0, 2], C[..., 1, 2]], axis=-1
+        )
+        abc = spd_solve_unrolled(M, rhs)
+        a, b, c = abc[..., 0], abc[..., 1], abc[..., 2]
+        zero = jnp.zeros_like(a)
+        Om = jnp.stack(
+            [
+                jnp.stack([zero, a, b], axis=-1),
+                jnp.stack([-a, zero, c], axis=-1),
+                jnp.stack([-b, -c, zero], axis=-1),
+            ],
+            axis=-2,
+        )
+    else:
+        eye = jnp.eye(d, dtype=Y.dtype)
+        # A[(ij),(kl)] = X[i,k] delta[j,l] + delta[i,k] X[j,l]  (row-major vec)
+        A = (
+            X[..., :, None, :, None] * eye[None, :, None, :]
+            + eye[:, None, :, None] * X[..., None, :, None, :]
+        ).reshape(X.shape[:-2] + (d * d, d * d))
+        A = A + reg[..., None, None] * jnp.eye(d * d, dtype=Y.dtype)
+        vec_om = spd_solve_unrolled(A, C.reshape(C.shape[:-2] + (d * d,)))
+        Om = vec_om.reshape(C.shape)
     return Z - Y @ Om
 
 
@@ -359,12 +407,18 @@ def solve(
     Y0 = jnp.asarray(Y0)
     dt = Y0.dtype
     N, d = Y0.shape[-2], Y0.shape[-1]
-    omega = jnp.asarray(omega, dtype=dt)
+    # omega/psi are template constants (host arrays), never traced values:
+    # the edge/pallas backends compile them into a static EdgeProblem.
+    omega_host = np.asarray(omega, np.float64)
     if psi_L is None:
-        psi_L = jnp.zeros((N, N), dt)
-        psi_U = jnp.zeros((N, N), dt)
-    psi_L = jnp.asarray(psi_L, dtype=dt)
-    psi_U = jnp.asarray(psi_U, dtype=dt)
+        psi_L_host = np.zeros((N, N))
+        psi_U_host = np.zeros((N, N))
+    else:
+        psi_L_host = np.asarray(psi_L, np.float64)
+        psi_U_host = np.asarray(psi_U, np.float64)
+    omega = jnp.asarray(omega_host, dtype=dt)
+    psi_L = jnp.asarray(psi_L_host, dtype=dt)
+    psi_U = jnp.asarray(psi_U_host, dtype=dt)
     L_mask, U_mask = costs.make_masks(omega, psi_L, psi_U)
 
     maxinner = params.maxinner if params.maxinner is not None else N * d
@@ -372,13 +426,48 @@ def solve(
     batch = Y0.shape[:-2]
     D_goal = jnp.broadcast_to(jnp.asarray(D_goal, dtype=dt), batch + (N, N))
 
-    if params.backend == "edge":
+    backend = params.backend
+    if backend == "pallas" and dt == jnp.float64:
+        # The fused kernel is float32 (TPU vector registers); float64 runs
+        # (CPU parity/validation lanes) take the dense XLA path instead.
+        backend = "dense"
+
+    if backend == "pallas":
+        from graphik_tpu.ops import edge as edge_ops
+        from graphik_tpu.ops.tr_pallas import solve_tr_pallas
+
+        ep = edge_ops.build_edge_problem(
+            omega_host, psi_L_host, psi_U_host, dim=d
+        )
+        Yf = Y0.reshape((-1, N, d))
+        dg_e = ep.edge_values(D_goal.reshape((-1, N, N)))
+        mingrad = params.mingradnorm if params.mingradnorm is not None else 2e-6
+        out = solve_tr_pallas(
+            ep, Yf, dg_e,
+            maxiter=params.maxiter,
+            maxinner=maxinner,
+            mingradnorm=mingrad,
+            kappa=params.kappa,
+            theta=params.theta,
+            rho_prime=params.rho_prime,
+            rho_regularization=params.rho_regularization,
+            Delta_bar=params.Delta_bar,
+            Delta0=params.Delta0,
+            mininner=params.mininner,
+            interpret=jax.default_backend() != "tpu",
+        )
+        return {
+            k: v.reshape(batch + v.shape[1:]).astype(dt)
+            if k == "Y"
+            else v.reshape(batch + v.shape[1:])
+            for k, v in out.items()
+        }
+
+    if backend == "edge":
         from graphik_tpu.ops import edge as edge_ops
 
         ep = edge_ops.build_edge_problem(
-            omega, psi_L, psi_U,
-            np.asarray(L_mask, np.float64), np.asarray(U_mask, np.float64),
-            dim=d,
+            omega_host, psi_L_host, psi_U_host, dim=d
         )
 
         def one(Y0_i, D_goal_i):
