@@ -43,7 +43,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
     from graphik_tpu import api
-    from graphik_tpu.parallel.mesh import solve_ik_restarts, summarize
+    from graphik_tpu.parallel.mesh import make_restart_solver, summarize
     from graphik_tpu.robots import library
     from graphik_tpu.solvers.riemannian import TRParams
     from graphik_tpu.utils.environments import table_environment
@@ -93,10 +93,8 @@ def main():
         sync(T_goal)
 
         if restarts:
-            def solver(Tg, k=jax.random.PRNGKey(7)):
-                return solve_ik_restarts(
-                    ps, Tg, k, n_restarts=restarts, params=params
-                )
+            rsolver = make_restart_solver(ps, n_restarts=restarts, params=params)
+            solver = lambda Tg, k=jax.random.PRNGKey(7): rsolver(Tg, k)
         else:
             solver = api.make_solver(ps, params=params)
 

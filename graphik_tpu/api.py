@@ -112,13 +112,9 @@ def _solve_ik_impl(structure, T_goal, params, use_limits, Y_init, dtype, limit_t
         batch = inst["D_goal"].shape[:-2]
         Y0 = jnp.broadcast_to(Y0, batch + Y0.shape[-2:])
 
-    sol = riemannian.solve(
-        Y0,
-        inst["D_goal"],
-        omega_np,
-        psi_L if use_limits else None,
-        psi_U if use_limits else None,
-        params=params,
+    sol = solve_reduced(
+        structure, Y0, inst["D_goal"], omega_np, psi_L, psi_U,
+        params=params, use_limits=use_limits,
     )
 
     q = structure.joint_variables(sol["Y"], T_goal)
@@ -144,6 +140,52 @@ def _solve_ik_impl(structure, T_goal, params, use_limits, Y_init, dtype, limit_t
         "limit_violation": max_viol,
         "success": limits_ok,
     }
+
+
+def solve_reduced(
+    structure,
+    Y0,
+    D_goal,
+    omega_np,
+    psi_L,
+    psi_U,
+    params: TRParams = TRParams(),
+    use_limits: bool = True,
+):
+    """Riemannian solve with the anchored-obstacle reduction.
+
+    Obstacle nodes have compile-time-constant positions, so they are removed
+    from the variable set and their bound edges become anchored hinge terms
+    (ProblemStructure.reduced_spec). The returned Y is padded back to the
+    full node count with the constant obstacle positions, so downstream
+    consumers (joint recovery, validation, visualization) see the same
+    layout as the full formulation.
+    """
+    spec = structure.reduced_spec()
+    if spec is None:
+        return riemannian.solve(
+            Y0, D_goal, omega_np,
+            psi_L if use_limits else None,
+            psi_U if use_limits else None,
+            params=params,
+        )
+    Nr = spec["Nr"]
+    sol = riemannian.solve(
+        Y0[..., :Nr, :],
+        D_goal[..., :Nr, :Nr],
+        omega_np[:Nr, :Nr],
+        psi_L[:Nr, :Nr] if use_limits else None,
+        psi_U[:Nr, :Nr] if use_limits else None,
+        params=params,
+        anchors=spec if use_limits else None,
+    )
+    Yr = sol["Y"]
+    obs_pos = jnp.broadcast_to(
+        jnp.asarray(structure.pos_fixed[Nr:], dtype=Yr.dtype),
+        Yr.shape[:-2] + (structure.N - Nr, structure.dim),
+    )
+    sol["Y"] = jnp.concatenate([Yr, obs_pos], axis=-2)
+    return sol
 
 
 def polish_solution(
@@ -230,13 +272,9 @@ def make_solver(
     @jax.jit
     def stage_solve(Y0, D_goal):
         with jax.default_matmul_precision("highest"):
-            return riemannian.solve(
-                Y0,
-                D_goal,
-                omega_np,
-                psi_L if use_limits else None,
-                psi_U if use_limits else None,
-                params=params,
+            return solve_reduced(
+                structure, Y0, D_goal, omega_np, psi_L, psi_U,
+                params=params, use_limits=use_limits,
             )
 
     @jax.jit

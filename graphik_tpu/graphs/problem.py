@@ -214,6 +214,50 @@ class ProblemStructure:
         """Rebuild without obstacle nodes (graph_base.py:213-217)."""
         return ProblemStructure.from_template(self.template, self.axis_length)
 
+    def reduced_spec(self) -> Optional[dict]:
+        """Anchored-obstacle reduction for the solver hot path.
+
+        The reference keeps obstacles as graph NODES pinned by exact-distance
+        edges to every positioned node (graph_base.py:182-211), so the
+        optimizer re-derives 100 known positions per solve. TPU-first design:
+        obstacle positions are compile-time constants, so each obstacle
+        bound-edge becomes an *anchored hinge term* against a constant point
+        and the variable set shrinks back to the robot subgraph
+        (N - n_obstacles nodes). For a table scene this cuts the edge count
+        ~50x and the variable count 7x with identical feasibility semantics
+        (validation still runs on the full graph).
+
+        Returns None when there are no obstacles, else a dict:
+          Nr       variable node count (robot + base + aux)
+          idx      (A,) int32 robot-node row per anchored term
+          centers  (A, dim) constant anchor points
+          psi_L, psi_U, L_mask, U_mask  (A,) squared hinge bounds/masks
+        """
+        if self.n_obstacles == 0:
+            return None
+        Nr = self.N - self.n_obstacles
+        rows, cols = [], []
+        for k in range(self.n_obstacles):
+            o = Nr + k
+            for i in range(Nr):
+                if self.bounded_mask[i, o]:
+                    rows.append(i)
+                    cols.append(o)
+        rows = np.asarray(rows, np.int64)
+        cols = np.asarray(cols, np.int64)
+        psi_L = self.psi_L[rows, cols]
+        psi_U = self.psi_U[rows, cols]
+        diff = psi_L != psi_U
+        return {
+            "Nr": Nr,
+            "idx": rows.astype(np.int32),
+            "centers": np.asarray(self.pos_fixed[cols], np.float64),
+            "psi_L": np.asarray(psi_L, np.float64),
+            "psi_U": np.asarray(psi_U, np.float64),
+            "L_mask": (diff & (psi_L > 0)).astype(np.float64),
+            "U_mask": (diff & (psi_U > 0)).astype(np.float64),
+        }
+
     def distance_bounds_from_sampling(
         self, key=None, n_samples: int = 2000
     ) -> "ProblemStructure":

@@ -45,6 +45,12 @@ class EdgeProblem:
       ei, ej        (E,) int32 upper-triangular edge endpoints
       C             (Ep, N) signed incidence (+1 at ei, -1 at ej), zero-padded
       omega, psi_L, psi_U, L_mask, U_mask   (Ep,) per-edge parameters
+
+    Anchored hinge terms (node vs CONSTANT point - the obstacle reduction,
+    graphs/problem.reduced_spec): zero-length arrays when absent.
+      aP                       (Ap, N) one-hot node selection
+      acenters                 (Ap, dim) constant anchor points
+      apsi_L, apsi_U, aL_mask, aU_mask  (Ap,) squared hinge bounds/masks
     """
 
     ei: np.ndarray
@@ -57,6 +63,14 @@ class EdgeProblem:
     U_mask: np.ndarray
     N: int
     dim: int
+    aP: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0, 0)))
+    acenters: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0, 3)))
+    apsi_L: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(0))
+    apsi_U: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(0))
+    aL_mask: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(0))
+    aU_mask: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(0))
 
     @property
     def E(self) -> int:
@@ -65,6 +79,10 @@ class EdgeProblem:
     @property
     def Ep(self) -> int:
         return self.C.shape[0]
+
+    @property
+    def A(self) -> int:
+        return self.aP.shape[0]
 
     def edge_values(self, M) -> jnp.ndarray:
         """Gather per-edge values from a dense (..., N, N) matrix, padded."""
@@ -76,7 +94,7 @@ class EdgeProblem:
 
 
 def build_edge_problem(omega, psi_L, psi_U, L_mask=None, U_mask=None,
-                       dim: int = 3) -> EdgeProblem:
+                       dim: int = 3, anchors=None) -> EdgeProblem:
     """Compile dense (N, N) masks into the padded edge/incidence form.
 
     Keeps every unordered pair where the equality or either hinge term is
@@ -110,10 +128,31 @@ def build_edge_problem(omega, psi_L, psi_U, L_mask=None, U_mask=None,
         out[:E] = np.asarray(M, np.float64)[ei, ej]
         return out
 
+    akw = {}
+    if anchors is not None and len(anchors["idx"]):
+        idx = np.asarray(anchors["idx"], np.int64)
+        A = len(idx)
+        Ap = max(_SUBLANE, -(-A // _SUBLANE) * _SUBLANE)
+        P = np.zeros((Ap, N), np.float64)
+        P[np.arange(A), idx] = 1.0
+        cen = np.zeros((Ap, dim), np.float64)
+        cen[:A] = np.asarray(anchors["centers"], np.float64)[:, :dim]
+
+        def pad(v):
+            out = np.zeros(Ap, np.float64)
+            out[:A] = np.asarray(v, np.float64)
+            return out
+
+        akw = dict(
+            aP=P, acenters=cen,
+            apsi_L=pad(anchors["psi_L"]), apsi_U=pad(anchors["psi_U"]),
+            aL_mask=pad(anchors["L_mask"]), aU_mask=pad(anchors["U_mask"]),
+        )
+
     return EdgeProblem(
         ei=ei, ej=ej, C=C,
         omega=sel(omega), psi_L=sel(psi_L), psi_U=sel(psi_U),
-        L_mask=sel(L_mask), U_mask=sel(U_mask), N=N, dim=dim,
+        L_mask=sel(L_mask), U_mask=sel(U_mask), N=N, dim=dim, **akw,
     )
 
 
@@ -134,10 +173,27 @@ def _edge_terms(ep: EdgeProblem, Y, dgoal_e):
     return diff, dist, s0, e1, e2
 
 
+def _anchor_terms(ep: EdgeProblem, Y):
+    """Hinge terms against constant anchor points (obstacle reduction)."""
+    P = jnp.asarray(ep.aP, Y.dtype)
+    diff = jnp.einsum("an,...nd->...ad", P, Y) - jnp.asarray(
+        ep.acenters, Y.dtype)
+    dist = jnp.sum(diff * diff, axis=-1)
+    e1 = jnp.asarray(ep.aL_mask, Y.dtype) * jnp.maximum(
+        jnp.asarray(ep.apsi_L, Y.dtype) - dist, 0.0)
+    e2 = jnp.asarray(ep.aU_mask, Y.dtype) * jnp.maximum(
+        dist - jnp.asarray(ep.apsi_U, Y.dtype), 0.0)
+    return diff, e1, e2
+
+
 def cost(ep: EdgeProblem, Y, dgoal_e):
     """f(Y); dgoal_e = per-edge squared goal distances (see edge_values)."""
     _, _, s0, e1, e2 = _edge_terms(ep, Y, dgoal_e)
-    return jnp.sum(s0 * s0 + e1 * e1 + e2 * e2, axis=-1)
+    f = jnp.sum(s0 * s0 + e1 * e1 + e2 * e2, axis=-1)
+    if ep.A:
+        _, a1, a2 = _anchor_terms(ep, Y)
+        f = f + jnp.sum(a1 * a1 + a2 * a2, axis=-1)
+    return f
 
 
 def cost_and_egrad(ep: EdgeProblem, Y, dgoal_e):
@@ -146,6 +202,12 @@ def cost_and_egrad(ep: EdgeProblem, Y, dgoal_e):
     s = s0 + e1 - e2
     C = jnp.asarray(ep.C, Y.dtype)
     g = -2.0 * jnp.einsum("en,...ed->...nd", C, s[..., None] * diff)
+    if ep.A:
+        adiff, a1, a2 = _anchor_terms(ep, Y)
+        f = f + jnp.sum(a1 * a1 + a2 * a2, axis=-1)
+        sa = a1 - a2
+        P = jnp.asarray(ep.aP, Y.dtype)
+        g = g - 2.0 * jnp.einsum("an,...ad->...nd", P, sa[..., None] * adiff)
     return f, g
 
 
@@ -163,7 +225,18 @@ def ehess(ep: EdgeProblem, Y, Z, dgoal_e):
          + jnp.asarray(ep.L_mask, Y.dtype) * (e1 > 0)
          + jnp.asarray(ep.U_mask, Y.dtype) * (e2 > 0))
     h_e = (m * dD)[..., None] * diff - s[..., None] * diffZ
-    return 2.0 * jnp.einsum("en,...ed->...nd", C, h_e)
+    H = 2.0 * jnp.einsum("en,...ed->...nd", C, h_e)
+    if ep.A:
+        adiff, a1, a2 = _anchor_terms(ep, Y)
+        P = jnp.asarray(ep.aP, Y.dtype)
+        adiffZ = jnp.einsum("an,...nd->...ad", P, Z)
+        adD = 2.0 * jnp.sum(adiff * adiffZ, axis=-1)
+        sa = a1 - a2
+        ma = (jnp.asarray(ep.aL_mask, Y.dtype) * (a1 > 0)
+              + jnp.asarray(ep.aU_mask, Y.dtype) * (a2 > 0))
+        h_a = (ma * adD)[..., None] * adiff - sa[..., None] * adiffZ
+        H = H + 2.0 * jnp.einsum("an,...ad->...nd", P, h_a)
+    return H
 
 
 # ---------------------------------------------------------------------------

@@ -57,10 +57,10 @@ def _rowsum(x):
 
 
 def _tr_kernel(
-    c_ref, ct_ref, par_ref, dg_ref, y0_ref, act_ref, yout_ref, stats_ref,
-    *, N: int, d: int, maxiter: int, maxinner: int, mingradnorm: float,
+    c_ref, ct_ref, par_ref, dg_ref, *rest_refs,
+    N: int, d: int, maxiter: int, maxinner: int, mingradnorm: float,
     kappa: float, theta: float, rho_prime: float, rho_regularization: float,
-    Delta_bar: float, Delta0: float, mininner: int,
+    Delta_bar: float, Delta0: float, mininner: int, has_anchors: bool,
 ):
     f32 = jnp.float32
     C = c_ref[:]          # (Ep, N)
@@ -71,6 +71,19 @@ def _tr_kernel(
     Lm = par_ref[:, 3:4]
     Um = par_ref[:, 4:5]
     dg = dg_ref[:]        # (Ep, TB)
+    if has_anchors:
+        ap_ref, apt_ref, apar_ref, y0_ref, act_ref, yout_ref, stats_ref = (
+            rest_refs
+        )
+        AP = ap_ref[:]        # (Ap, N) one-hot selection
+        APt = apt_ref[:]      # (N, Ap)
+        apsiL = apar_ref[:, 0:1]
+        apsiU = apar_ref[:, 1:2]
+        aLm = apar_ref[:, 2:3]
+        aUm = apar_ref[:, 3:4]
+        acen = [apar_ref[:, 4 + k:5 + k] for k in range(d)]  # (Ap, 1) each
+    else:
+        y0_ref, act_ref, yout_ref, stats_ref = rest_refs
     active = act_ref[:] > 0.0   # (1, TB)
     Y0 = y0_ref[:]        # (dN, TB)
     TB = Y0.shape[1]
@@ -92,14 +105,32 @@ def _tr_kernel(
         e2 = Um * jnp.maximum(dist - psiU, 0.0)
         return s0, e1, e2
 
+    def anchor_diffs(Y):
+        return [_dot(AP, Yk) - acen[k] for k, Yk in enumerate(blocks(Y))]
+
+    def anchor_terms(adY):
+        adist = adY[0] * adY[0]
+        for k in range(1, d):
+            adist = adist + adY[k] * adY[k]
+        a1 = aLm * jnp.maximum(apsiL - adist, 0.0)
+        a2 = aUm * jnp.maximum(adist - apsiU, 0.0)
+        return a1, a2
+
     def cost_and_grad(Y):
         """f (1, TB), grad (dN, TB) - edge convention (ops/edge.py)."""
         dY = edge_diffs(Y)
         s0, e1, e2 = cost_terms(dY)
         f = _rowsum(s0 * s0 + e1 * e1 + e2 * e2)
         s = s0 + e1 - e2
-        g = jnp.concatenate([-2.0 * _dot(Ct, s * dYk) for dYk in dY], axis=0)
-        return f, g
+        gk = [-2.0 * _dot(Ct, s * dYk) for dYk in dY]
+        if has_anchors:
+            adY = anchor_diffs(Y)
+            a1, a2 = anchor_terms(adY)
+            f = f + _rowsum(a1 * a1 + a2 * a2)
+            sa = a1 - a2
+            for k in range(d):
+                gk[k] = gk[k] - 2.0 * _dot(APt, sa * adY[k])
+        return f, jnp.concatenate(gk, axis=0)
 
     def gram_scalars(Y):
         """Unique entries of X = Y^T Y as (1, TB) rows: x11,x22,x33,x12,x13,x23."""
@@ -173,6 +204,11 @@ def _tr_kernel(
         s = s0 + e1 - e2
         m = om + Lm * (e1 > 0).astype(f32) + Um * (e2 > 0).astype(f32)
         fac = proj_factors(Y)
+        if has_anchors:
+            adY = anchor_diffs(Y)
+            a1, a2 = anchor_terms(adY)
+            sa = a1 - a2
+            ma = aLm * (a1 > 0).astype(f32) + aUm * (a2 > 0).astype(f32)
 
         def hvp(Z):
             dZ = edge_diffs(Z)
@@ -181,11 +217,18 @@ def _tr_kernel(
                 dD = dD + dY[k] * dZ[k]
             dD = 2.0 * dD
             mdD = m * dD
-            H = jnp.concatenate(
-                [2.0 * _dot(Ct, mdD * dY[k] - s * dZ[k]) for k in range(d)],
-                axis=0,
-            )
-            return proj(Y, H, fac)
+            Hk = [2.0 * _dot(Ct, mdD * dY[k] - s * dZ[k]) for k in range(d)]
+            if has_anchors:
+                adZ = [_dot(AP, Zk) for Zk in blocks(Z)]
+                adD = adY[0] * adZ[0]
+                for k in range(1, d):
+                    adD = adD + adY[k] * adZ[k]
+                amdD = ma * 2.0 * adD
+                for k in range(d):
+                    Hk[k] = Hk[k] + 2.0 * _dot(
+                        APt, amdD * adY[k] - sa * adZ[k]
+                    )
+            return proj(Y, jnp.concatenate(Hk, axis=0), fac)
 
         return hvp
 
@@ -400,7 +443,7 @@ def solve_tr_pallas(
     Delta_bar: float | None = None,
     Delta0: float | None = None,
     mininner: int = 1,
-    tile: int = _LANE,
+    tile: int | None = None,
     interpret: bool = False,
 ):
     """Run the full batched TR solve in one Pallas kernel.
@@ -414,6 +457,7 @@ def solve_tr_pallas(
 
     B, N, d = Y0.shape
     Ep = ep.Ep
+    Ap = ep.A
     dN = d * N
     if maxinner is None:
         maxinner = dN
@@ -423,6 +467,18 @@ def solve_tr_pallas(
         Delta_bar = 10.0 + d
     if Delta0 is None:
         Delta0 = Delta_bar / 8.0
+    if tile is None:
+        # Lane-tile sized to the VMEM footprint: per lane the kernel keeps
+        # ~(4+2d) edge rows, ~2d anchor rows, ~8 dN state vectors, plus the
+        # lane-invariant C/Ct/P blocks; stay within ~1/3 of the ~16 MB
+        # scoped-vmem budget to leave room for Mosaic's own spills.
+        per_lane = 4 * ((4 + 2 * d) * Ep + 2 * d * Ap + 8 * dN + 64)
+        fixed = 4 * (2 * Ep * N + 2 * Ap * N + 8 * (Ep + Ap))
+        budget = 6 * 1024 * 1024
+        tile = _LANE
+        while tile > 8 and fixed + per_lane * tile > budget:
+            tile //= 2
+        tile = max(tile, 8)
 
     Bp = -(-B // tile) * tile
     # (B, N, d) -> (dN, Bp)
@@ -443,20 +499,47 @@ def solve_tr_pallas(
         theta=float(theta), rho_prime=float(rho_prime),
         rho_regularization=float(rho_regularization),
         Delta_bar=float(Delta_bar), Delta0=float(Delta0),
-        mininner=int(mininner),
+        mininner=int(mininner), has_anchors=bool(Ap),
     )
     grid = (Bp // tile,)
+    in_specs = [
+        pl.BlockSpec((Ep, N), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((N, Ep), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Ep, 8), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Ep, tile), lambda b: (0, b), memory_space=pltpu.VMEM),
+    ]
+    inputs = [
+        jnp.asarray(ep.C, jnp.float32),
+        jnp.asarray(ep.C.T, jnp.float32),
+        jnp.asarray(np.pad(_pack_params(ep), ((0, 0), (0, 3))), jnp.float32),
+        dgf,
+    ]
+    if Ap:
+        apar = np.zeros((Ap, 8), np.float64)
+        apar[:, 0] = ep.apsi_L
+        apar[:, 1] = ep.apsi_U
+        apar[:, 2] = ep.aL_mask
+        apar[:, 3] = ep.aU_mask
+        apar[:, 4:4 + d] = ep.acenters[:, :d]
+        in_specs += [
+            pl.BlockSpec((Ap, N), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, Ap), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Ap, 8), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ]
+        inputs += [
+            jnp.asarray(ep.aP, jnp.float32),
+            jnp.asarray(ep.aP.T, jnp.float32),
+            jnp.asarray(apar, jnp.float32),
+        ]
+    in_specs += [
+        pl.BlockSpec((dN, tile), lambda b: (0, b), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile), lambda b: (0, b), memory_space=pltpu.VMEM),
+    ]
+    inputs += [Yl, act]
     Yout, stats = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((Ep, N), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, Ep), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Ep, 8), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Ep, tile), lambda b: (0, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((dN, tile), lambda b: (0, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda b: (0, b), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((dN, tile), lambda b: (0, b), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, tile), lambda b: (0, b), memory_space=pltpu.VMEM),
@@ -466,14 +549,7 @@ def solve_tr_pallas(
             jax.ShapeDtypeStruct((8, Bp), jnp.float32),
         ],
         interpret=interpret,
-    )(
-        jnp.asarray(ep.C, jnp.float32),
-        jnp.asarray(ep.C.T, jnp.float32),
-        jnp.asarray(np.pad(_pack_params(ep), ((0, 0), (0, 3))), jnp.float32),
-        dgf,
-        Yl,
-        act,
-    )
+    )(*inputs)
     Y = jnp.transpose(Yout.reshape(d, N, Bp)[:, :, :B], (2, 1, 0))
     return {
         "Y": Y,

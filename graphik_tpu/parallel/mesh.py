@@ -117,7 +117,6 @@ def _solve_ik_restarts_impl(
     # kernel, which manages its own batch tiling - sees one flat batch.
     R = n_restarts
     batch_shape = inst["D_goal"].shape[:-2]
-    N = inst["D_goal"].shape[-1]
 
     def fold(x):
         inner = x.shape[len(batch_shape):]
@@ -131,13 +130,9 @@ def _solve_ik_restarts_impl(
     Y0_f = Y0s.reshape((-1,) + Y0s.shape[1 + len(batch_shape):])
     T_goal_f = fold(jnp.asarray(T_goal, dtype=Y0s.dtype))
 
-    sol = riemannian.solve(
-        Y0_f,
-        D_goal_f,
-        omega_np,
-        psi_L if use_limits else None,
-        psi_U if use_limits else None,
-        params=params,
+    sol = api.solve_reduced(
+        structure, Y0_f, D_goal_f, omega_np, psi_L, psi_U,
+        params=params, use_limits=use_limits,
     )
     q = structure.joint_variables(sol["Y"], T_goal_f)
     pos_fk = structure.realization(q)
@@ -159,8 +154,11 @@ def _solve_ik_restarts_impl(
         "success": ok,
     }
     all_out = {k: unfold(v) for k, v in all_out.items()}  # leading axis: restart
+    return _select_best_restart(all_out)
 
-    # Selection score: feasible first, then pose error (pos + rot).
+
+def _select_best_restart(all_out):
+    """Per-goal selection: feasible first, then pose error (pos + rot)."""
     score = all_out["e_pos"] + all_out["e_rot"] + jnp.where(
         all_out["success"], 0.0, 1e6
     )
@@ -175,6 +173,100 @@ def _solve_ik_restarts_impl(
     out = {k: pick(v) for k, v in all_out.items()}
     out["restart_index"] = best
     return out
+
+
+def make_restart_solver(
+    structure: ProblemStructure,
+    n_restarts: int = 4,
+    params: TRParams = TRParams(),
+    use_limits: bool = True,
+    dtype=None,
+    polish: bool = True,
+):
+    """Stage-jitted multi-restart solver (mirrors api.make_solver).
+
+    The monolithic restart pipeline compiles superlinearly in program size,
+    so prepare / solve / finish+select are jitted separately and chained on
+    the host. Returns solver(T_goal, key) -> selected per-goal result dict.
+    """
+    omega_np, psi_L, psi_U = structure.masks()
+    dim = structure.dim
+    R = n_restarts
+
+    @jax.jit
+    def stage_prepare(T_goal, key):
+        with jax.default_matmul_precision("highest"):
+            inst = structure.instance(T_goal, dtype=dtype, smooth=True)
+            omega = jnp.asarray(omega_np)
+            keys = jax.random.split(key, R)
+            Y0s = jnp.stack([
+                riemannian.generate_initialization(
+                    inst["lb"], inst["ub"], omega, dim,
+                    key=None if i == 0 else keys[i],
+                )
+                for i in range(R)
+            ])
+            batch_shape = inst["D_goal"].shape[:-2]
+
+            def fold(x):
+                inner = x.shape[len(batch_shape):]
+                x = jnp.broadcast_to(x, (R,) + batch_shape + inner)
+                return x.reshape((-1,) + inner)
+
+            D_goal_f = fold(inst["D_goal"])
+            Y0_f = Y0s.reshape((-1,) + Y0s.shape[1 + len(batch_shape):])
+            T_goal_f = fold(jnp.asarray(T_goal, dtype=Y0s.dtype))
+            return Y0_f, D_goal_f, T_goal_f
+
+    @jax.jit
+    def stage_solve(Y0_f, D_goal_f):
+        with jax.default_matmul_precision("highest"):
+            return api.solve_reduced(
+                structure, Y0_f, D_goal_f, omega_np, psi_L, psi_U,
+                params=params, use_limits=use_limits,
+            )
+
+    def stage_finish(sol, T_goal_f, batch_len):
+        with jax.default_matmul_precision("highest"):
+            q = structure.joint_variables(sol["Y"], T_goal_f)
+            pos_fk = structure.realization(q)
+            viol, ok = structure.check_distance_limits(pos_fk)
+            e_pos, e_rot = api.pose_error(structure, q, T_goal_f)
+            if polish:
+                q, e_pos, e_rot, viol, ok = api.polish_solution(
+                    structure, q, T_goal_f, e_pos, e_rot, viol, ok
+                )
+            all_out = {
+                "q": q,
+                "Y": sol["Y"],
+                "cost": sol["cost"],
+                "gradnorm": sol["gradnorm"],
+                "iterations": sol["iterations"],
+                "e_pos": e_pos,
+                "e_rot": e_rot,
+                "limit_violation": viol,
+                "success": ok,
+            }
+            all_out = {
+                k: v.reshape((R, batch_len) + v.shape[1:])
+                for k, v in all_out.items()
+            }
+            return _select_best_restart(all_out)
+
+    _finish_cache = {}  # batch_len is a Python static: one jit per shape
+
+    def solver(T_goal, key):
+        T_goal = jnp.asarray(T_goal)
+        Y0_f, D_goal_f, T_goal_f = stage_prepare(T_goal, key)
+        sol = stage_solve(Y0_f, D_goal_f)
+        batch_len = Y0_f.shape[0] // R
+        fn = _finish_cache.get(batch_len)
+        if fn is None:
+            fn = jax.jit(lambda s, t: stage_finish(s, t, batch_len))
+            _finish_cache[batch_len] = fn
+        return fn(sol, T_goal_f)
+
+    return solver
 
 
 def summarize(out, criterion_pos: float = 1e-3, criterion_rot: float = np.pi / 180):

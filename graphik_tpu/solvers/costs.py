@@ -47,36 +47,84 @@ def residuals(Y, D_goal, omega, psi_L, psi_U, L_mask, U_mask):
     return D, S0, E1, E2
 
 
-def cost(Y, D_goal, omega, psi_L, psi_U, L_mask, U_mask):
-    _, S0, E1, E2 = residuals(Y, D_goal, omega, psi_L, psi_U, L_mask, U_mask)
-    return 0.5 * (
-        jnp.sum(S0 * S0, axis=(-2, -1))
-        + jnp.sum(E1 * E1, axis=(-2, -1))
-        + jnp.sum(E2 * E2, axis=(-2, -1))
-    )
+def _anchor_residuals(Y, anchors):
+    """Hinge residuals of selected rows of Y against CONSTANT points.
+
+    `anchors` is the dict from ProblemStructure.reduced_spec() (the
+    obstacle reduction): idx (A,), centers (A, d), psi_L/psi_U/L_mask/
+    U_mask (A,). Returns (adiff (..., A, d), a1, a2).
+    """
+    idx = jnp.asarray(anchors["idx"])
+    cen = jnp.asarray(anchors["centers"], Y.dtype)
+    adiff = Y[..., idx, :] - cen
+    adist = jnp.sum(adiff * adiff, axis=-1)
+    a1 = jnp.asarray(anchors["L_mask"], Y.dtype) * jnp.maximum(
+        jnp.asarray(anchors["psi_L"], Y.dtype) - adist, 0.0)
+    a2 = jnp.asarray(anchors["U_mask"], Y.dtype) * jnp.maximum(
+        adist - jnp.asarray(anchors["psi_U"], Y.dtype), 0.0)
+    return adiff, a1, a2
 
 
-def egrad(Y, D_goal, omega, psi_L, psi_U, L_mask, U_mask):
-    _, S0, E1, E2 = residuals(Y, D_goal, omega, psi_L, psi_U, L_mask, U_mask)
-    return 2.0 * _adj_mv(S0 + E1 - E2, Y)
+def _anchor_scatter(Y, idx, vals):
+    """Scatter-add (..., A, d) rows back to (..., N, d) at idx."""
+    return jnp.zeros_like(Y).at[..., idx, :].add(vals)
 
 
-def cost_and_egrad(Y, D_goal, omega, psi_L, psi_U, L_mask, U_mask):
+def cost(Y, D_goal, omega, psi_L, psi_U, L_mask, U_mask, anchors=None):
     _, S0, E1, E2 = residuals(Y, D_goal, omega, psi_L, psi_U, L_mask, U_mask)
     f = 0.5 * (
         jnp.sum(S0 * S0, axis=(-2, -1))
         + jnp.sum(E1 * E1, axis=(-2, -1))
         + jnp.sum(E2 * E2, axis=(-2, -1))
     )
-    return f, 2.0 * _adj_mv(S0 + E1 - E2, Y)
+    if anchors is not None:
+        _, a1, a2 = _anchor_residuals(Y, anchors)
+        f = f + jnp.sum(a1 * a1 + a2 * a2, axis=-1)
+    return f
 
 
-def ehess(Y, Z, D_goal, omega, psi_L, psi_U, L_mask, U_mask):
+def egrad(Y, D_goal, omega, psi_L, psi_U, L_mask, U_mask, anchors=None):
+    return cost_and_egrad(
+        Y, D_goal, omega, psi_L, psi_U, L_mask, U_mask, anchors
+    )[1]
+
+
+def cost_and_egrad(Y, D_goal, omega, psi_L, psi_U, L_mask, U_mask,
+                   anchors=None):
+    _, S0, E1, E2 = residuals(Y, D_goal, omega, psi_L, psi_U, L_mask, U_mask)
+    f = 0.5 * (
+        jnp.sum(S0 * S0, axis=(-2, -1))
+        + jnp.sum(E1 * E1, axis=(-2, -1))
+        + jnp.sum(E2 * E2, axis=(-2, -1))
+    )
+    g = 2.0 * _adj_mv(S0 + E1 - E2, Y)
+    if anchors is not None:
+        adiff, a1, a2 = _anchor_residuals(Y, anchors)
+        f = f + jnp.sum(a1 * a1 + a2 * a2, axis=-1)
+        sa = a1 - a2
+        idx = jnp.asarray(anchors["idx"])
+        g = g - 2.0 * _anchor_scatter(Y, idx, sa[..., None] * adiff)
+    return f, g
+
+
+def ehess(Y, Z, D_goal, omega, psi_L, psi_U, L_mask, U_mask, anchors=None):
     _, S0, E1, E2 = residuals(Y, D_goal, omega, psi_L, psi_U, L_mask, U_mask)
     G_dot = jnp.einsum("...ik,...jk->...ij", Y, Z)
     dD = distance_matrix_from_gram(G_dot + jnp.swapaxes(G_dot, -1, -2))
     M = omega + L_mask * (E1 > 0) + U_mask * (E2 > 0)
-    return 2.0 * (_adj_mv(-M * dD, Y) + _adj_mv(S0 + E1 - E2, Z))
+    H = 2.0 * (_adj_mv(-M * dD, Y) + _adj_mv(S0 + E1 - E2, Z))
+    if anchors is not None:
+        adiff, a1, a2 = _anchor_residuals(Y, anchors)
+        idx = jnp.asarray(anchors["idx"])
+        adiffZ = Z[..., idx, :]
+        adD = 2.0 * jnp.sum(adiff * adiffZ, axis=-1)
+        sa = a1 - a2
+        ma = (jnp.asarray(anchors["L_mask"], Y.dtype) * (a1 > 0)
+              + jnp.asarray(anchors["U_mask"], Y.dtype) * (a2 > 0))
+        H = H + 2.0 * _anchor_scatter(
+            Y, idx, (ma * adD)[..., None] * adiff - sa[..., None] * adiffZ
+        )
+    return H
 
 
 def make_masks(omega, psi_L, psi_U):

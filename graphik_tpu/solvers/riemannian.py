@@ -392,6 +392,7 @@ def solve(
     psi_L=None,
     psi_U=None,
     params: TRParams = TRParams(),
+    anchors=None,
 ):
     """Batched Riemannian TR solve of the EDM completion problem.
 
@@ -401,6 +402,9 @@ def solve(
     D_goal : (..., N, N) squared goal distances (batched or unbatched).
     omega : (N, N) equality mask (static).
     psi_L, psi_U : (N, N) squared bound matrices or None for no limits.
+    anchors : optional anchored-hinge spec (host numpy dict from
+        ProblemStructure.reduced_spec()) - hinge terms between selected
+        rows of Y and constant points (the obstacle reduction).
 
     Returns dict of per-instance results (Y, cost, gradnorm, iterations).
     """
@@ -437,7 +441,7 @@ def solve(
         from graphik_tpu.ops.tr_pallas import solve_tr_pallas
 
         ep = edge_ops.build_edge_problem(
-            omega_host, psi_L_host, psi_U_host, dim=d
+            omega_host, psi_L_host, psi_U_host, dim=d, anchors=anchors
         )
         Yf = Y0.reshape((-1, N, d))
         dg_e = ep.edge_values(D_goal.reshape((-1, N, N)))
@@ -467,7 +471,7 @@ def solve(
         from graphik_tpu.ops import edge as edge_ops
 
         ep = edge_ops.build_edge_problem(
-            omega_host, psi_L_host, psi_U_host, dim=d
+            omega_host, psi_L_host, psi_U_host, dim=d, anchors=anchors
         )
 
         def one(Y0_i, D_goal_i):
@@ -482,14 +486,14 @@ def solve(
     else:
         def one(Y0_i, D_goal_i):
             cost_fn = lambda Y: costs.cost(
-                Y, D_goal_i, omega, psi_L, psi_U, L_mask, U_mask
+                Y, D_goal_i, omega, psi_L, psi_U, L_mask, U_mask, anchors
             )
             grad_fn = lambda Y: costs.egrad(
-                Y, D_goal_i, omega, psi_L, psi_U, L_mask, U_mask
+                Y, D_goal_i, omega, psi_L, psi_U, L_mask, U_mask, anchors
             )
             hess_fn = lambda Y, v: manifold_proj(
                 Y, costs.ehess(Y, v, D_goal_i, omega, psi_L, psi_U, L_mask,
-                               U_mask)
+                               U_mask, anchors)
             )
             return _solve_single(Y0_i, cost_fn, grad_fn, hess_fn, params,
                                  maxinner)
