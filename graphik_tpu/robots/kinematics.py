@@ -118,6 +118,86 @@ def jacobian(template: RobotTemplate, q, node: int):
     return single(q)
 
 
+@partial(jax.jit, static_argnums=(0, 2))
+def jacobian_geometric(template: RobotTemplate, q, node: int):
+    """World-frame geometric Jacobian of `node` (robot_revolute.py:141-182).
+
+    Column i-1 (joint q_i on the path to `node`) is
+    [z_{parent(i)} x (p_node - p_{parent(i)}); z_{parent(i)}] with z/p taken
+    from the current world pose of the parent frame. Off-path columns are
+    zero. 3D only. q: (..., n) -> (..., 6, n).
+    """
+    tpl = template
+    assert tpl.dim == 3, "geometric Jacobian is defined for 3D robots"
+    parents = jnp.asarray(tpl.parents)
+    on_path = _path_membership(tpl, node)
+
+    def single(qi):
+        T = all_poses(tpl, qi)          # (n+1, 4, 4)
+        p_ee = T[node, :3, 3]
+        Tp = T[parents[1:]]             # parent frame of each joint
+        z = Tp[:, :3, 2]                # (n, 3)
+        p = Tp[:, :3, 3]
+        lin = jnp.cross(z, p_ee[None, :] - p)
+        cols = jnp.concatenate([lin, z], axis=-1)  # (n, 6)
+        cols = jnp.where(jnp.asarray(on_path[1:])[:, None], cols, 0.0)
+        return cols.T  # (6, n)
+
+    for _ in range(q.ndim - 1):
+        single = jax.vmap(single)
+    return single(q)
+
+
+@partial(jax.jit, static_argnums=0)
+def linear_jacobians(template: RobotTemplate, q):
+    """World-frame position Jacobians of EVERY node in one pass.
+
+    (..., n) -> (..., n+1, dim, n): entry [j, :, i-1] is the velocity of
+    node j per unit rate of joint i - z_{parent(i)} x (p_j - p_{parent(i)})
+    in 3D, the in-plane perpendicular in 2D - zero when joint i does not
+    move node j. One all_poses evaluation serves all nodes; this is the
+    analytic replacement for per-constraint jacfwd in the local solver's
+    obstacle terms (reference joint_angle_solver.py:83-126 recomputes a
+    scipy Jacobian per constraint).
+    """
+    tpl = template
+    dim = tpl.dim
+    parents = jnp.asarray(tpl.parents)
+    anc = jnp.asarray(_ancestor_matrix(tpl))  # (n+1 nodes, n joints)
+
+    def single(qi):
+        T = all_poses(tpl, qi)  # (n+1, hd, hd)
+        p = T[:, :dim, dim]     # (n+1, dim)
+        Tp = T[parents[1:]]
+        pj = Tp[:, :dim, dim]   # (n, dim) joint pivot positions
+        rel = p[:, None, :] - pj[None, :, :]  # (n+1, n, dim)
+        if dim == 3:
+            z = Tp[:, :3, 2]    # (n, 3)
+            vel = jnp.cross(z[None, :, :], rel)
+        else:
+            vel = jnp.stack([-rel[..., 1], rel[..., 0]], axis=-1)
+        vel = jnp.where(anc[:, :, None], vel, 0.0)
+        return jnp.swapaxes(vel, -1, -2)  # (n+1, dim, n)
+
+    for _ in range(q.ndim - 1):
+        single = jax.vmap(single)
+    return single(q)
+
+
+def _ancestor_matrix(template: RobotTemplate):
+    """(n+1, n) bool: [j, i-1] = joint i is on the path root -> node j."""
+    import numpy as np
+
+    n = template.n
+    anc = np.zeros((n + 1, n), dtype=bool)
+    for j in range(1, n + 1):
+        i = j
+        while i > 0:
+            anc[j, i - 1] = True
+            i = int(template.parents[i])
+    return anc
+
+
 def _path_membership(template: RobotTemplate, node: int):
     import numpy as np
 

@@ -95,10 +95,14 @@ class CidgikCompiled:
 
 
 def compile_cidgik(ps: ProblemStructure) -> CidgikCompiled:
-    """Host-side constraint assembly (sdp_snl.py:201-398 semantics)."""
-    n = ps.n
+    """Host-side constraint assembly (sdp_snl.py:201-398 semantics).
+
+    Supports both 3D revolute and planar problems; the planar variant drops
+    the q-auxiliary nodes and anchors the end effector plus its predecessor
+    (the reference's planar path, sdp_snl.py:854-871 /
+    graph_planar.py:136-145).
+    """
     dim = ps.dim
-    assert dim == 3, "CIDGIK is defined for revolute (3D) graphs"
 
     # SDP nodes: everything except x, y (convex_iteration.py:178-180)
     sdp_nodes = [i for i in range(ps.N) if i not in (ps.idx_x, ps.idx_y)]
@@ -116,7 +120,10 @@ def compile_cidgik(ps: ProblemStructure) -> CidgikCompiled:
     goal_anchor = set()
     for ee in ps.template.ee:
         goal_anchor.add(ps.idx_p(int(ee)))
-        goal_anchor.add(ps.idx_q(int(ee)))
+        if dim == 3:
+            goal_anchor.add(ps.idx_q(int(ee)))
+        else:
+            goal_anchor.add(ps.idx_p(int(ps.template.parents[int(ee)])))
 
     eq_ff, eq_ff_b = [], []
     eq_fa, eq_fa_d2, eq_fa_dyn = [], [], []
@@ -390,6 +397,79 @@ def _fantope(Z, d):
     C = U @ jnp.swapaxes(U, -1, -2)
     eig_sum = jnp.sum(lam[..., :n_small], axis=-1)
     return C, eig_sum
+
+
+def nearest_point_cost_matrix(comp: CidgikCompiled, targets, dtype=None):
+    """Linear cost C with tr(C Z) = sum_u (G_uu - 2 p_u^T x_u).
+
+    Up to the constant sum ||p_u||^2 this is the nearest-point objective
+    sum_u ||x_u - p_u||^2 (reference sdp_snl.py:417-445 cost map).
+    targets: (..., n_free, d).
+    """
+    targets = jnp.asarray(targets, dtype=dtype)
+    dt = targets.dtype
+    d = comp.d
+    s = comp.s
+    nf = comp.n_free
+    batch = targets.shape[:-2]
+    C = jnp.zeros(batch + (s, s), dt)
+    C = C.at[..., d:, d:].add(jnp.eye(nf, dtype=dt))
+    C = C.at[..., d:, :d].add(-targets)
+    C = C.at[..., :d, d:].add(-jnp.swapaxes(targets, -1, -2))
+    return C
+
+
+def solve_nearest_point_sdp(
+    comp: CidgikCompiled,
+    anchors_pos,
+    targets,
+    params: CidgikParams = CidgikParams(),
+    ranges: bool = False,
+    dtype=None,
+):
+    """Nearest-point SDP: project target points onto the constraint set.
+
+    The reference's second SDP entry point (`solve_nearest_point_sdp`,
+    sdp_snl.py:810-851): a single linear-cost SDP (no convex iteration)
+    minimizing sum_u ||x_u - p_u||^2 subject to the distance equalities
+    (and, with ranges=True, the bound inequalities).
+
+    anchors_pos: (..., n_anchor, d); targets: (..., n_free, d); leading
+    dims batch. Returns dict(points (..., n_free, d), Z, feas).
+    """
+    anchors_pos = jnp.asarray(anchors_pos, dtype=dtype)
+    dt = anchors_pos.dtype
+    targets = jnp.asarray(targets, dtype=dt)
+    d = comp.d
+    s = comp.s
+
+    def single(anc_pos, tgt):
+        A_eq, b_eq, A_in, lo, hi = _constraint_matrices(comp, anc_pos, dt)
+        if not ranges:
+            A_in = A_in[:0]
+            lo = lo[:0]
+            hi = hi[:0]
+        C = nearest_point_cost_matrix(comp, tgt)
+        Z = jnp.zeros((s, s), dtype=dt).at[:d, :d].set(jnp.eye(d, dtype=dt))
+        Z = Z.at[d:, :d].set(tgt)
+        Z = Z.at[:d, d:].set(tgt.T)
+        Z = Z.at[d:, d:].set(tgt @ tgt.T)
+        t = jnp.clip(
+            jnp.einsum("mij,ij->m", A_in, Z), lo, hi
+        ) if A_in.shape[0] else jnp.zeros((0,), dt)
+        U = (jnp.zeros((s, s), dtype=dt), jnp.zeros(A_in.shape[0], dtype=dt))
+        Z_out, _, _, feas = _solve_sdp_admm(
+            A_eq, b_eq, A_in, lo, hi, C, Z, t, U, params
+        )
+        return Z_out, feas
+
+    fn = single
+    batch = anchors_pos.shape[:-2]
+    for _ in range(len(batch)):
+        fn = jax.vmap(fn)
+    with jax.default_matmul_precision("highest"):
+        Z, feas = fn(anchors_pos, targets)
+    return {"points": Z[..., d:, :d], "Z": Z, "feas": feas}
 
 
 def solve_cidgik(

@@ -1,0 +1,528 @@
+"""Sparse (chordal clique-decomposed) CIDGIK.
+
+TPU-first reimplementation of the reference's sparse SDP machinery
+(sdp_snl.py:201-314 per-clique constraint assembly, 661-715 chordal overlap
+equality constraints, 448-488 clique cover; convex_iteration.py sparse
+mode): the free-node graph is chordally completed (utils/chordal.py, MCS-M)
+and each maximal clique S_k gets its own small lifted PSD block
+
+    Z_k = [[ I_d  , X_k^T ],
+           [ X_k  , G_k   ]]         X_k in R^{|S_k| x d}
+
+with distance constraints stamped into the clique containing the edge and
+overlap equality constraints tying shared rows/diagonals across cliques.
+All blocks are padded to the maximum clique size and stacked, so the ADMM
+cone projection is ONE batched eigh over (K, ds, ds) - the decomposition
+maps directly onto the TPU's batched-small-eigh sweet spot instead of the
+reference's per-clique cvxpy variables.
+
+Where the reference uses a greedy set cover to pick which *augmented*
+cliques carry anchor constraints (sdp_snl.py:17-66), anchors here enter
+linearly through per-instance positions, so each anchored edge simply
+stamps into (one of) its free node's cliques - no cover problem exists.
+
+Bounded (inequality) edges are included in the adjacency used for the
+triangulation so every range constraint has a host clique.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from graphik_tpu.graphs.problem import ProblemStructure
+from graphik_tpu.solvers.cidgik import (
+    FEASIBLE,
+    INFEASIBLE,
+    CidgikParams,
+)
+from graphik_tpu.utils.chordal import chordal_cliques
+
+
+@dataclasses.dataclass(eq=False)
+class CidgikSparseCompiled:
+    """Static sparse CIDGIK template.
+
+    Stamp tables describe every constraint as entries into the stacked
+    block tensor (K, ds, ds); anchored coefficients are finalized per
+    instance from the anchor positions inside jit.
+    """
+
+    structure: ProblemStructure
+    free_idx: np.ndarray          # (n_free,) problem-node index per free slot
+    anchor_idx: np.ndarray        # (n_anchor,)
+    cliques: List[List[int]]      # free-slot members per clique
+    member: np.ndarray            # (K, smax) free slots, -1 padding
+    K: int
+    smax: int
+
+    # static constraint stamps: A_static (m_static, K, ds, ds), b (m_static,)
+    A_eq_static: np.ndarray
+    b_eq_static: np.ndarray
+    # anchored equality edges: (m_fa,) tables
+    fa_clique: np.ndarray         # clique index
+    fa_row: np.ndarray            # local row (0-based within clique)
+    fa_anchor: np.ndarray         # anchor slot
+    fa_d2: np.ndarray             # squared edge length
+    # inequality stamps
+    A_in_static: np.ndarray
+    in_lo: np.ndarray
+    in_hi: np.ndarray
+    ina_clique: np.ndarray
+    ina_row: np.ndarray
+    ina_anchor: np.ndarray
+    ina_lo: np.ndarray
+    ina_hi: np.ndarray
+
+    @property
+    def d(self) -> int:
+        return self.structure.dim
+
+    @property
+    def ds(self) -> int:
+        return self.d + self.smax
+
+    @property
+    def n_free(self) -> int:
+        return len(self.free_idx)
+
+
+def compile_cidgik_sparse(ps: ProblemStructure) -> CidgikSparseCompiled:
+    """Host-side clique decomposition + constraint stamping."""
+    dim = ps.dim
+    sdp_nodes = [i for i in range(ps.N) if i not in (ps.idx_x, ps.idx_y)]
+    anchor = sorted(i for i in sdp_nodes if ps.anchor_mask[i])
+    free = [i for i in sdp_nodes if i not in set(anchor)]
+    free_slot = {node: k for k, node in enumerate(free)}
+    anchor_slot = {node: k for k, node in enumerate(anchor)}
+    nf = len(free)
+
+    # adjacency over free slots: exact OR bounded edges (bounded edges get a
+    # host clique this way; the reference triangulates only DIST edges and
+    # patches ranges in afterwards, sdp_snl.py:270-314 + 356-398)
+    adj = np.zeros((nf, nf), dtype=bool)
+    for a in range(ps.N):
+        for b in range(a + 1, ps.N):
+            if a in free_slot and b in free_slot and (
+                ps.omega_struct[a, b] or ps.bounded_mask[a, b]
+            ):
+                adj[free_slot[a], free_slot[b]] = True
+                adj[free_slot[b], free_slot[a]] = True
+    cliques = chordal_cliques(adj)
+    K = len(cliques)
+    smax = max(len(c) for c in cliques)
+    ds = dim + smax
+    member = -np.ones((K, smax), dtype=np.int64)
+    local = [dict() for _ in range(K)]
+    for k, c in enumerate(cliques):
+        for j, u in enumerate(c):
+            member[k, j] = u
+            local[k][u] = j
+
+    def host_clique(u, v=None):
+        for k in range(K):
+            if u in local[k] and (v is None or v in local[k]):
+                return k
+        return None
+
+    A_eq, b_eq = [], []
+    A_in, lo_l, hi_l = [], [], []
+    fa_rows = []
+    ina_rows = []
+
+    # identity blocks per clique: Z_k[i, j] = delta_ij, i <= j < d
+    for k in range(K):
+        for i in range(dim):
+            for j in range(i, dim):
+                A = np.zeros((K, ds, ds))
+                A[k, i, j] += 0.5
+                A[k, j, i] += 0.5
+                A_eq.append(A)
+                b_eq.append(1.0 if i == j else 0.0)
+
+    # overlap equalities (sdp_snl.py:661-715): for every free slot in >1
+    # clique, chain consecutive host cliques - X rows (d scalars) and the
+    # G diagonal; for shared PAIRS, the G off-diagonal too.
+    hosts = [[k for k in range(K) if u in local[k]] for u in range(nf)]
+    for u in range(nf):
+        hs = hosts[u]
+        for k1, k2 in zip(hs[:-1], hs[1:]):
+            r1 = dim + local[k1][u]
+            r2 = dim + local[k2][u]
+            for i in range(dim):  # X^k1_u = X^k2_u
+                A = np.zeros((K, ds, ds))
+                A[k1, r1, i] += 0.5
+                A[k1, i, r1] += 0.5
+                A[k2, r2, i] -= 0.5
+                A[k2, i, r2] -= 0.5
+                A_eq.append(A)
+                b_eq.append(0.0)
+            A = np.zeros((K, ds, ds))  # G^k1_uu = G^k2_uu
+            A[k1, r1, r1] += 1.0
+            A[k2, r2, r2] -= 1.0
+            A_eq.append(A)
+            b_eq.append(0.0)
+    for u in range(nf):
+        for v in range(u + 1, nf):
+            shared = [k for k in range(K) if u in local[k] and v in local[k]]
+            for k1, k2 in zip(shared[:-1], shared[1:]):
+                A = np.zeros((K, ds, ds))
+                ru1, rv1 = dim + local[k1][u], dim + local[k1][v]
+                ru2, rv2 = dim + local[k2][u], dim + local[k2][v]
+                A[k1, ru1, rv1] += 0.5
+                A[k1, rv1, ru1] += 0.5
+                A[k2, ru2, rv2] -= 0.5
+                A[k2, rv2, ru2] -= 0.5
+                A_eq.append(A)
+                b_eq.append(0.0)
+
+    def edge_stamp(k, u, v):
+        """||x_u - x_v||^2 inside clique k."""
+        A = np.zeros((K, ds, ds))
+        ru, rv = dim + local[k][u], dim + local[k][v]
+        A[k, ru, ru] += 1.0
+        A[k, rv, rv] += 1.0
+        A[k, ru, rv] -= 1.0
+        A[k, rv, ru] -= 1.0
+        return A
+
+    for a in range(ps.N):
+        for b in range(a + 1, ps.N):
+            in_f_a, in_f_b = a in free_slot, b in free_slot
+            in_any_a = in_f_a or a in anchor_slot
+            in_any_b = in_f_b or b in anchor_slot
+            if not (in_any_a and in_any_b):
+                continue
+            if not in_f_a and not in_f_b:
+                continue  # anchor-anchor: constant
+            if ps.omega_struct[a, b]:
+                d2 = float(ps.D_struct[a, b])
+                if in_f_a and in_f_b:
+                    u, v = free_slot[a], free_slot[b]
+                    k = host_clique(u, v)
+                    assert k is not None
+                    A_eq.append(edge_stamp(k, u, v))
+                    b_eq.append(d2)
+                else:
+                    f, anc = (a, b) if in_f_a else (b, a)
+                    u = free_slot[f]
+                    k = host_clique(u)
+                    fa_rows.append(
+                        (k, local[k][u], anchor_slot[anc], d2)
+                    )
+            elif ps.bounded_mask[a, b]:
+                lo = float(ps.check_L[a, b]) ** 2
+                hi = float(ps.check_U[a, b]) ** 2
+                if in_f_a and in_f_b:
+                    u, v = free_slot[a], free_slot[b]
+                    k = host_clique(u, v)
+                    assert k is not None
+                    A_in.append(edge_stamp(k, u, v))
+                    lo_l.append(lo)
+                    hi_l.append(hi)
+                else:
+                    f, anc = (a, b) if in_f_a else (b, a)
+                    u = free_slot[f]
+                    k = host_clique(u)
+                    ina_rows.append(
+                        (k, local[k][u], anchor_slot[anc], lo, hi)
+                    )
+
+    def stack(lst, shape):
+        return (
+            np.stack(lst) if lst else np.zeros((0,) + shape)
+        )
+
+    fa = np.asarray(fa_rows, dtype=float).reshape(len(fa_rows), 4) \
+        if fa_rows else np.zeros((0, 4))
+    ina = np.asarray(ina_rows, dtype=float).reshape(len(ina_rows), 5) \
+        if ina_rows else np.zeros((0, 5))
+
+    return CidgikSparseCompiled(
+        structure=ps,
+        free_idx=np.asarray(free, dtype=np.int64),
+        anchor_idx=np.asarray(anchor, dtype=np.int64),
+        cliques=cliques,
+        member=member,
+        K=K,
+        smax=smax,
+        A_eq_static=stack(A_eq, (K, ds, ds)),
+        b_eq_static=np.asarray(b_eq, dtype=float),
+        fa_clique=fa[:, 0].astype(np.int64),
+        fa_row=fa[:, 1].astype(np.int64),
+        fa_anchor=fa[:, 2].astype(np.int64),
+        fa_d2=fa[:, 3],
+        A_in_static=stack(A_in, (K, ds, ds)),
+        in_lo=np.asarray(lo_l, dtype=float),
+        in_hi=np.asarray(hi_l, dtype=float),
+        ina_clique=ina[:, 0].astype(np.int64),
+        ina_row=ina[:, 1].astype(np.int64),
+        ina_anchor=ina[:, 2].astype(np.int64),
+        ina_lo=ina[:, 3],
+        ina_hi=ina[:, 4],
+    )
+
+
+def _anchored_stamps(comp: CidgikSparseCompiled, cl, row, anc, anchors_pos,
+                     dtype):
+    """(m, K, ds, ds) coefficients for anchored edges: G_uu - 2 a^T x_u."""
+    m = len(cl)
+    K, ds, d = comp.K, comp.ds, comp.d
+    A = jnp.zeros((m, K, ds, ds), dtype=dtype)
+    if m == 0:
+        return A, jnp.zeros((0,), dtype=dtype)
+    r = jnp.asarray(row) + d
+    k = jnp.asarray(cl)
+    a_pos = anchors_pos[jnp.asarray(anc)]  # (m, d)
+    mi = jnp.arange(m)
+    A = A.at[mi, k, r, r].set(1.0)
+    A = A.at[mi[:, None], k[:, None], r[:, None], jnp.arange(d)[None, :]].set(
+        -a_pos
+    )
+    A = A.at[mi[:, None], k[:, None], jnp.arange(d)[None, :], r[:, None]].set(
+        -a_pos
+    )
+    a_norm2 = jnp.sum(a_pos * a_pos, axis=-1)
+    return A, a_norm2
+
+
+def _constraint_tensors(comp: CidgikSparseCompiled, anchors_pos, dtype):
+    """Materialize (m_eq, K, ds, ds), b, inequality tensors + boxes."""
+    A_eq_s = jnp.asarray(comp.A_eq_static, dtype=dtype)
+    b_eq_s = jnp.asarray(comp.b_eq_static, dtype=dtype)
+    A_fa, a2 = _anchored_stamps(
+        comp, comp.fa_clique, comp.fa_row, comp.fa_anchor, anchors_pos, dtype
+    )
+    b_fa = jnp.asarray(comp.fa_d2, dtype=dtype) - a2
+    A_eq = jnp.concatenate([A_eq_s, A_fa], axis=0)
+    b_eq = jnp.concatenate([b_eq_s, b_fa], axis=0)
+
+    A_in_s = jnp.asarray(comp.A_in_static, dtype=dtype)
+    A_ina, a2i = _anchored_stamps(
+        comp, comp.ina_clique, comp.ina_row, comp.ina_anchor, anchors_pos,
+        dtype,
+    )
+    A_in = jnp.concatenate([A_in_s, A_ina], axis=0)
+    lo = jnp.concatenate(
+        [jnp.asarray(comp.in_lo, dtype=dtype),
+         jnp.asarray(comp.ina_lo, dtype=dtype) - a2i]
+    )
+    hi = jnp.concatenate(
+        [jnp.asarray(comp.in_hi, dtype=dtype),
+         jnp.asarray(comp.ina_hi, dtype=dtype) - a2i]
+    )
+
+    def rownorm(A):
+        return jnp.sqrt(
+            jnp.maximum(jnp.sum(A * A, axis=(-3, -2, -1)), 1e-12)
+        )
+
+    n_eq = rownorm(A_eq)
+    A_eq = A_eq / n_eq[:, None, None, None]
+    b_eq = b_eq / n_eq
+    if A_in.shape[0]:
+        n_in = rownorm(A_in)
+        A_in = A_in / n_in[:, None, None, None]
+        lo = lo / n_in
+        hi = hi / n_in
+    return A_eq, b_eq, A_in, lo, hi
+
+
+def _solve_sdp_admm_blocks(A_eq, b_eq, A_in, lo, hi, C, Z0, t0, U0, params):
+    """Two-block ADMM over a PRODUCT of PSD cones (stacked clique blocks).
+
+    Identical splitting to the dense solver (cidgik._solve_sdp_admm) with
+    Z in (K, ds, ds) and the cone projection a batched eigh over cliques.
+    """
+    m_eq = A_eq.shape[0]
+    m_in = A_in.shape[0]
+    rho = params.rho
+
+    A_all = jnp.concatenate([A_eq, A_in], axis=0)  # (m, K, ds, ds)
+    Gmm = jnp.einsum("mkij,nkij->mn", A_all, A_all)
+    if m_in:
+        Gmm = Gmm.at[m_eq:, m_eq:].add(jnp.eye(m_in, dtype=Gmm.dtype))
+    Gmm = Gmm + 1e-9 * jnp.trace(Gmm) / Gmm.shape[0] * jnp.eye(
+        Gmm.shape[0], dtype=Gmm.dtype
+    )
+    chol = jax.scipy.linalg.cho_factor(Gmm)
+
+    def apply_A(A, Z):
+        return jnp.einsum("mkij,kij->m", A, Z)
+
+    def affine_project(Z, t):
+        parts = [apply_A(A_eq, Z) - b_eq]
+        if m_in:
+            parts.append(apply_A(A_in, Z) - t)
+        r = jnp.concatenate(parts)
+        y = jax.scipy.linalg.cho_solve(chol, r)
+        Z_new = Z - jnp.einsum("m,mkij->kij", y, A_all)
+        t_new = t + y[m_eq:] if m_in else t
+        return Z_new, t_new
+
+    def cone_project(W, t):
+        lam, Q = jnp.linalg.eigh(W)  # batched over cliques
+        lam = jnp.maximum(lam, 0.0)
+        Wp = jnp.einsum("kij,kj,klj->kil", Q, lam, Q)
+        tp = jnp.clip(t, lo, hi) if m_in else t
+        return Wp, tp
+
+    alpha = params.relax
+
+    def cond(carry):
+        Z, t, Uz, ut, k, res = carry
+        return (res > params.admm_tol) & (k < params.admm_iters)
+
+    def body(carry):
+        Z, t, Uz, ut, k, _ = carry
+        Z1, t1 = affine_project(Z - Uz - C / rho, t - ut)
+        Zr = alpha * Z1 + (1.0 - alpha) * Z
+        tr = alpha * t1 + (1.0 - alpha) * t
+        Z2, t2 = cone_project(Zr + Uz, tr + ut)
+        Uz_new = Uz + Zr - Z2
+        ut_new = ut + tr - t2
+        res = jnp.sqrt(
+            jnp.sum((Z1 - Z2) ** 2)
+            + (jnp.sum((t1 - t2) ** 2) if m_in else 0.0)
+        )
+        return (Z2, t2, Uz_new, ut_new, k + 1, res)
+
+    init = (
+        Z0, t0, U0[0], U0[1], jnp.zeros((), jnp.int32),
+        jnp.asarray(jnp.inf, Z0.dtype),
+    )
+    Z, t, Uz, ut, _, _ = jax.lax.while_loop(cond, body, init)
+
+    r_eq = apply_A(A_eq, Z) - b_eq
+    feas = jnp.max(jnp.abs(r_eq))
+    if m_in:
+        v = apply_A(A_in, Z)
+        feas = jnp.maximum(
+            feas,
+            jnp.max(jnp.maximum(lo - v, 0.0) + jnp.maximum(v - hi, 0.0)),
+        )
+    return Z, t, (Uz, ut), feas
+
+
+def _fantope_blocks(Z, d, member):
+    """Per-clique Fantope projection + excess-rank eigenvalue sum.
+
+    Pad-safe formulation: the rank-d-complement projector within each
+    block's VALID subspace is C_k = diag(valid_k) - U_d U_d^T with U_d the
+    top-d eigenvectors (always inside the valid subspace - the I_d corner
+    guarantees d eigenvalues ~1 there), so padded rows never receive cost.
+    Excess-rank sum = sum_k (tr Z_k - sum of top-d eigenvalues), the
+    per-block generalization of convex_iteration.py:43-53.
+    """
+    lam, Q = jnp.linalg.eigh(Z)  # (K, ds), ascending
+    ds = Z.shape[-1]
+    d_top = Q[:, :, ds - d:]  # (K, ds, d) top-d eigenvectors
+    proj_top = jnp.einsum("kij,klj->kil", d_top, d_top)
+    valid = jnp.asarray(member >= 0)  # (K, smax)
+    diag_valid = jnp.concatenate(
+        [jnp.ones(valid.shape[:1] + (d,), Z.dtype),
+         valid.astype(Z.dtype)], axis=1,
+    )  # (K, ds)
+    C = jnp.zeros_like(Z) + jnp.einsum(
+        "ki,ij->kij", diag_valid, jnp.eye(ds, dtype=Z.dtype)
+    ) - proj_top
+    eig_sum = jnp.sum(lam) - jnp.sum(lam[:, ds - d:])
+    return C, eig_sum
+
+
+def solve_cidgik_sparse(
+    comp: CidgikSparseCompiled,
+    T_goal,
+    params: CidgikParams = CidgikParams(),
+    dtype=None,
+):
+    """Batched sparse CIDGIK solve (convex_iteration.py sparse mode).
+
+    Returns dict: q, points (all problem nodes), status, eig_sum, feas.
+    """
+    ps = comp.structure
+    pos_all = ps.goal_positions(T_goal, dtype=dtype)
+    dt = pos_all.dtype
+    d = comp.d
+    K, ds = comp.K, comp.ds
+    member = jnp.asarray(comp.member)
+
+    anchors_pos = pos_all[..., jnp.asarray(comp.anchor_idx), :]
+
+    def single(anc_pos, pos_nodes):
+        A_eq, b_eq, A_in, lo, hi = _constraint_tensors(comp, anc_pos, dt)
+
+        Z = jnp.zeros((K, ds, ds), dtype=dt)
+        Z = Z.at[:, :d, :d].set(jnp.eye(d, dtype=dt))
+        t = jnp.clip(jnp.zeros(A_in.shape[0], dtype=dt), lo, hi)
+        U = (jnp.zeros((K, ds, ds), dtype=dt),
+             jnp.zeros(A_in.shape[0], dtype=dt))
+        C = jnp.broadcast_to(jnp.eye(ds, dtype=dt), (K, ds, ds))
+
+        def outer(carry, _):
+            Z, t, U, C, last_cost, done, feas_prev, eig_prev = carry
+            Z_new, t_new, U_new, feas = _solve_sdp_admm_blocks(
+                A_eq, b_eq, A_in, lo, hi, C, Z, t, U, params
+            )
+            C_new, eig_sum = _fantope_blocks(Z_new, d, comp.member)
+            cost = jnp.sum(C * Z_new)
+            change = jnp.abs(last_cost - cost)
+            rel = change / jnp.maximum(jnp.abs(last_cost), 1e-30)
+            new_done = done | (
+                (change <= params.abs_tol)
+                | (cost <= params.abs_tol)
+                | (rel < params.rel_tol)
+            )
+            keep = lambda old, new: jnp.where(done, old, new)
+            return (
+                keep(Z, Z_new),
+                keep(t, t_new),
+                jax.tree.map(keep, U, U_new),
+                keep(C, C_new),
+                keep(last_cost, cost),
+                new_done,
+                keep(feas_prev, feas),
+                keep(eig_prev, eig_sum),
+            ), None
+
+        init = (
+            Z, t, U, C,
+            jnp.asarray(1e6, dt),
+            jnp.zeros((), bool),
+            jnp.asarray(jnp.inf, dt),
+            jnp.asarray(jnp.inf, dt),
+        )
+        (Z, t, U, C, cost, done, feas, eig_sum), _ = jax.lax.scan(
+            outer, init, None, length=params.max_outer
+        )
+
+        # assemble free positions: average shared rows across cliques
+        X = jnp.zeros((comp.n_free, d), dtype=dt)
+        count = jnp.zeros((comp.n_free,), dtype=dt)
+        for k in range(K):
+            for j, u in enumerate(comp.cliques[k]):
+                X = X.at[u].add(Z[k, d + j, :d])
+                count = count.at[u].add(1.0)
+        X = X / count[:, None]
+        points = pos_nodes.at[jnp.asarray(comp.free_idx), :].set(X)
+        status = jnp.where(feas <= params.feas_tol, FEASIBLE, INFEASIBLE)
+        return points, status, eig_sum, feas
+
+    fn = single
+    batch = pos_all.shape[:-2]
+    for _ in range(len(batch)):
+        fn = jax.vmap(fn)
+    with jax.default_matmul_precision("highest"):
+        points, status, eig_sum, feas = fn(anchors_pos, pos_all)
+        q = ps.joint_variables(points, T_goal)
+    return {
+        "q": q,
+        "points": points,
+        "status": status,
+        "eig_sum": eig_sum,
+        "feas": feas,
+    }

@@ -94,3 +94,21 @@ def bernoulli_confidence_jeffreys(n, n_success, confidence=0.95):
     p_hat = (low_end + high_end) / 2.0
     rad = (high_end - low_end) / 2.0
     return p_hat, rad
+
+
+def measure_perturbation(points, points_perturbed):
+    """Aggregate perturbation between two point sets (utils/utils.py:150-159).
+
+    points / points_perturbed: (..., N, dim) arrays (the reference uses
+    name->point dicts; here rows are the node order). Returns
+    (total_l2, max_abs): sqrt of the summed squared per-point displacement
+    norms, and the largest absolute coordinate change.
+    """
+    import numpy as np
+
+    p = np.asarray(points)
+    q = np.asarray(points_perturbed)
+    diff = p - q
+    total = np.sqrt(np.sum(np.sum(diff**2, axis=-1), axis=-1))
+    max_abs = np.max(np.abs(diff), axis=(-2, -1))
+    return total, max_abs

@@ -90,3 +90,79 @@ class TestEndToEnd:
             comp, jnp.asarray(T_far), params=CidgikParams(admm_iters=300)
         )
         assert int(out["status"]) == cidgik.INFEASIBLE
+
+
+class TestPlanarCidgik:
+    """Planar CIDGIK (reference sdp_snl.py:854-871, convex_iteration planar).
+
+    The reference has no planar CIDGIK test; ours asserts the full pipeline.
+    """
+
+    def test_planar_chain_solves(self):
+        from graphik_tpu.robots.library import load_planar_chain
+
+        tpl, ps = load_planar_chain(6)
+        comp = compile_cidgik(ps)
+        assert comp.d == 2
+        T_goal, _ = api.random_goals(ps, jax.random.PRNGKey(1), (3,))
+        out = cidgik.solve_cidgik(
+            comp, jnp.asarray(T_goal),
+            params=CidgikParams(admm_iters=600, max_outer=8),
+        )
+        e_pos, e_rot = api.pose_error(ps, out["q"], jnp.asarray(T_goal))
+        hits = (np.asarray(e_pos) < 1e-2) & (np.asarray(e_rot) < 1e-2)
+        assert hits.sum() >= 2, (e_pos, e_rot, out["eig_sum"], out["feas"])
+
+
+class TestNearestPointSdp:
+    """solve_nearest_point_sdp (reference sdp_snl.py:810-851 +
+    tests/test_sdp_snl.py:94-137 cost-map strategy)."""
+
+    def test_feasible_targets_are_fixed_points(self, ur10, comp):
+        """If the targets already satisfy all equalities (FK-true points),
+        the nearest-point SDP returns them unchanged."""
+        rng = np.random.RandomState(1)
+        q = jnp.asarray(rng.uniform(-np.pi, np.pi, 6))
+        pos = np.asarray(ur10.realization(q))
+        anchors_pos = pos[comp.anchor_idx]
+        targets = pos[comp.free_idx]
+        out = cidgik.solve_nearest_point_sdp(
+            comp, jnp.asarray(anchors_pos), jnp.asarray(targets),
+            params=CidgikParams(admm_iters=800),
+        )
+        assert float(out["feas"]) < 1e-4
+        np.testing.assert_allclose(
+            np.asarray(out["points"]), targets, atol=5e-3
+        )
+
+    def test_infeasible_targets_project_to_constraint_set(self, ur10, comp):
+        """Perturbed targets project back: equalities hold at the output."""
+        rng = np.random.RandomState(2)
+        q = jnp.asarray(rng.uniform(-np.pi, np.pi, 6))
+        pos = np.asarray(ur10.realization(q))
+        anchors_pos = pos[comp.anchor_idx]
+        targets = pos[comp.free_idx] + 0.05 * rng.standard_normal((comp.n_free, 3))
+        out = cidgik.solve_nearest_point_sdp(
+            comp, jnp.asarray(anchors_pos), jnp.asarray(targets),
+            params=CidgikParams(admm_iters=1500),
+        )
+        assert float(out["feas"]) < 1e-3
+        # distance equalities hold at the projected points (the SDP is a
+        # relaxation: check the free-free edges via the Gram block)
+        Z = np.asarray(out["Z"])
+        d = comp.d
+        for (u, v), b in zip(comp.eq_ff, comp.eq_ff_b):
+            duv = Z[d + u, d + u] + Z[d + v, d + v] - 2 * Z[d + u, d + v]
+            np.testing.assert_allclose(duv, b, atol=5e-3)
+
+    def test_cost_matrix_values(self, comp):
+        """tr(C Z(points)) + sum||p||^2 == sum ||x_u - p_u||^2 exactly."""
+        rng = np.random.RandomState(3)
+        targets = rng.standard_normal((comp.n_free, 3))
+        X = rng.standard_normal((comp.n_free, 3))
+        Z = lifted_from_points(comp, X)
+        C = np.asarray(cidgik.nearest_point_cost_matrix(comp, jnp.asarray(targets)))
+        val = np.sum(C * Z) + np.sum(targets**2)
+        np.testing.assert_allclose(
+            val, np.sum((X - targets) ** 2), rtol=1e-9
+        )

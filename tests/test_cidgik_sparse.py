@@ -1,0 +1,108 @@
+"""Sparse (chordal) CIDGIK tests.
+
+Reference strategy: constraint residuals vanish at FK-true points
+(tests/test_sdp_snl.py:21-91, sparse=True sweeps at 140-258) plus an
+end-to-end sparse solve (which the reference suite lacks entirely).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from graphik_tpu import api
+from graphik_tpu.graphs.problem import ProblemStructure
+from graphik_tpu.robots import kinematics
+from graphik_tpu.solvers import cidgik_sparse as cs
+from graphik_tpu.solvers.cidgik import CidgikParams
+from tests.test_kinematics import ur10_template
+
+
+@pytest.fixture(scope="module")
+def ur10():
+    return ProblemStructure.from_template(ur10_template())
+
+
+@pytest.fixture(scope="module")
+def comp(ur10):
+    return cs.compile_cidgik_sparse(ur10)
+
+
+def lifted_blocks(comp, pos_free):
+    """Stacked clique blocks at given free-node positions."""
+    d = comp.d
+    Z = np.zeros((comp.K, comp.ds, comp.ds))
+    for k, c in enumerate(comp.cliques):
+        Z[k, :d, :d] = np.eye(d)
+        X = pos_free[np.asarray(c)]
+        Z[k, d:d + len(c), :d] = X
+        Z[k, :d, d:d + len(c)] = X.T
+        Z[k, d:d + len(c), d:d + len(c)] = X @ X.T
+    return Z
+
+
+class TestDecomposition:
+    def test_cliques_cover_edges(self, ur10, comp):
+        """Every exact/bounded free-free edge lies in some clique."""
+        free_slot = {int(n): i for i, n in enumerate(comp.free_idx)}
+        for a in range(ur10.N):
+            for b in range(a + 1, ur10.N):
+                if a in free_slot and b in free_slot and (
+                    ur10.omega_struct[a, b] or ur10.bounded_mask[a, b]
+                ):
+                    u, v = free_slot[a], free_slot[b]
+                    assert any(
+                        u in c and v in c for c in comp.cliques
+                    ), (a, b)
+
+    def test_is_actually_sparse(self, comp):
+        """The decomposition must be non-trivial: >1 clique, each smaller
+        than the free-node set."""
+        assert comp.K > 1
+        assert comp.smax < comp.n_free
+
+    def test_residuals_zero_at_fk_points(self, ur10, comp):
+        rng = np.random.RandomState(0)
+        for _ in range(3):
+            q = jnp.asarray(rng.uniform(-np.pi, np.pi, 6))
+            pos = np.asarray(ur10.realization(q))
+            anchors_pos = jnp.asarray(pos[comp.anchor_idx])
+            A_eq, b_eq, A_in, lo, hi = cs._constraint_tensors(
+                comp, anchors_pos, jnp.float64
+            )
+            Z = lifted_blocks(comp, pos[comp.free_idx])
+            r = np.einsum("mkij,kij->m", np.asarray(A_eq), Z) - np.asarray(
+                b_eq
+            )
+            assert np.abs(r).max() < 1e-8, np.abs(r).max()
+            if A_in.shape[0]:
+                v = np.einsum("mkij,kij->m", np.asarray(A_in), Z)
+                assert np.all(v >= np.asarray(lo) - 1e-6)
+                assert np.all(v <= np.asarray(hi) + 1e-6)
+
+
+class TestEndToEnd:
+    def test_ur10_sparse_cidgik_solves(self, ur10, comp):
+        T_goal, _ = api.random_goals(ur10, jax.random.PRNGKey(0), (3,))
+        out = cs.solve_cidgik_sparse(
+            comp, jnp.asarray(T_goal),
+            params=CidgikParams(admm_iters=800, max_outer=8),
+        )
+        e_pos, e_rot = api.pose_error(ur10, out["q"], jnp.asarray(T_goal))
+        hits = (np.asarray(e_pos) < 1e-2) & (np.asarray(e_rot) < 1e-2)
+        assert hits.sum() >= 2, (e_pos, e_rot, out["eig_sum"], out["feas"])
+
+    def test_matches_dense_points(self, ur10, comp):
+        """Sparse and dense CIDGIK agree on the recovered positions."""
+        from graphik_tpu.solvers import cidgik as cd
+
+        dense = cd.compile_cidgik(ur10)
+        T_goal, _ = api.random_goals(ur10, jax.random.PRNGKey(5), (2,))
+        p = CidgikParams(admm_iters=800, max_outer=8)
+        out_s = cs.solve_cidgik_sparse(comp, jnp.asarray(T_goal), params=p)
+        out_d = cd.solve_cidgik(dense, jnp.asarray(T_goal), params=p)
+        es_p, _ = api.pose_error(ur10, out_s["q"], jnp.asarray(T_goal))
+        ed_p, _ = api.pose_error(ur10, out_d["q"], jnp.asarray(T_goal))
+        # both formulations solve the instances (same relaxation)
+        assert (np.asarray(es_p) < 2e-2).sum() >= 1
+        assert (np.asarray(ed_p) < 2e-2).sum() >= 1

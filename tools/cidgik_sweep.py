@@ -1,0 +1,86 @@
+"""CIDGIK success-rate sweep (VERDICT item 6: measure, then fix).
+
+Runs >=256-goal sweeps of dense + sparse CIDGIK on UR10 and LWA4D (CPU
+f64, batched) and records success rates at the reference criterion
+(pos/rot err < 0.01, convex_iteration.py's evaluation) plus feasibility
+statistics. Writes CIDGIK_SWEEP.json.
+
+Usage: python tools/cidgik_sweep.py [--goals 256] [--robots ur10,lwa4d]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--goals", type=int, default=256)
+    ap.add_argument("--robots", type=str, default="ur10,lwa4d")
+    ap.add_argument("--sparse", action="store_true", default=True)
+    ap.add_argument("--out", type=str, default="CIDGIK_SWEEP.json")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/graphik_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from graphik_tpu import api
+    from graphik_tpu.robots import library
+    from graphik_tpu.solvers import cidgik as cd
+    from graphik_tpu.solvers import cidgik_sparse as cs
+    from graphik_tpu.solvers.cidgik import CidgikParams
+
+    params = CidgikParams(admm_iters=800, max_outer=10)
+    results = {}
+    for name in args.robots.split(","):
+        ps = getattr(library, f"load_{name}" if name != "lwa4d"
+                     else "load_schunk_lwa4d")()[1]
+        T_goal, _ = api.random_goals(ps, jax.random.PRNGKey(42), (args.goals,))
+        T_goal = jnp.asarray(T_goal)
+
+        for mode in (["dense", "sparse"] if args.sparse else ["dense"]):
+            t0 = time.perf_counter()
+            if mode == "dense":
+                comp = cd.compile_cidgik(ps)
+                out = cd.solve_cidgik(comp, T_goal, params=params)
+            else:
+                comp = cs.compile_cidgik_sparse(ps)
+                out = cs.solve_cidgik_sparse(comp, T_goal, params=params)
+            e_pos, e_rot = api.pose_error(ps, out["q"], T_goal)
+            wall = time.perf_counter() - t0
+            e_pos = np.asarray(e_pos)
+            e_rot = np.asarray(e_rot)
+            hit = (e_pos < 1e-2) & (e_rot < 1e-2)
+            feas = np.asarray(out["status"]) == cd.FEASIBLE
+            key = f"{name}_{mode}"
+            results[key] = {
+                "goals": args.goals,
+                "success_rate_1cm": round(float(hit.mean()), 4),
+                "success_rate_1mm": round(
+                    float(((e_pos < 1e-3) & (e_rot < np.pi / 180)).mean()), 4
+                ),
+                "feasible_rate": round(float(feas.mean()), 4),
+                "median_pos_err": float(np.median(e_pos)),
+                "median_eig_sum": float(np.median(np.asarray(out["eig_sum"]))),
+                "wall_s": round(wall, 1),
+            }
+            print(f"{key}: {results[key]}", file=sys.stderr, flush=True)
+
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
