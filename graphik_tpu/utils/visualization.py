@@ -1,10 +1,11 @@
-"""Matplotlib visualization (reference utils/robot_visualization.py).
+"""Matplotlib visualization (reference utils/robot_visualization.py +
+a mesh-free analogue of the pyrender scene viewer, urdf_visualization.py).
 
-Plots planar manipulators, 3D point-graph realizations with frames, and
-heatmaps of solver metrics. matplotlib is imported lazily so headless /
-minimal deployments don't pay for it; 3D mesh rendering (the reference's
-pyrender path, urdf_visualization.py) is intentionally out of scope - mesh
-assets are not part of the kinematic framework.
+Plots planar manipulators, 3D point-graph realizations with frames, solved
+robot scenes (link cylinders, joint frame triads, obstacle spheres, goal
+frames - urdf_visualization.py:9-177 without the mesh assets, which are
+not part of the kinematic framework), and solver-metric histograms.
+matplotlib is imported lazily so headless deployments don't pay for it.
 """
 
 from __future__ import annotations
@@ -83,6 +84,95 @@ def plot_revolute_points(ps, pos, ax=None, show_aux=True, show_obstacles=True):
             y = center[1] + radius * np.sin(u) * np.sin(v)
             z = center[2] + radius * np.cos(v)
             ax.plot_wireframe(x, y, z, color="tab:red", alpha=0.2)
+    return ax
+
+
+def _frame_triad(ax, T, scale=0.12):
+    """RGB axis triad at pose T (urdf_visualization.py frame markers)."""
+    T = np.asarray(T)
+    o = T[:3, 3]
+    for k, color in enumerate(("r", "g", "b")):
+        a = o + scale * T[:3, k]
+        ax.plot([o[0], a[0]], [o[1], a[1]], [o[2], a[2]], color=color, lw=2)
+
+
+def _cylinder(ax, p0, p1, radius, color, alpha=0.8, n_theta=10):
+    """Link cylinder between two joint origins (replaces the reference's
+    edge cylinders, urdf_visualization.py:123-156)."""
+    p0 = np.asarray(p0, float)
+    p1 = np.asarray(p1, float)
+    axis = p1 - p0
+    L = np.linalg.norm(axis)
+    if L < 1e-9:
+        return
+    axis = axis / L
+    # orthonormal frame around the axis
+    ref = np.array([1.0, 0.0, 0.0])
+    if abs(axis @ ref) > 0.9:
+        ref = np.array([0.0, 1.0, 0.0])
+    u = np.cross(axis, ref)
+    u /= np.linalg.norm(u)
+    v = np.cross(axis, u)
+    th = np.linspace(0, 2 * np.pi, n_theta)
+    t = np.linspace(0, L, 2)
+    th_g, t_g = np.meshgrid(th, t)
+    pts = (
+        p0[None, None, :]
+        + t_g[..., None] * axis[None, None, :]
+        + radius * np.cos(th_g)[..., None] * u[None, None, :]
+        + radius * np.sin(th_g)[..., None] * v[None, None, :]
+    )
+    ax.plot_surface(
+        pts[..., 0], pts[..., 1], pts[..., 2],
+        color=color, alpha=alpha, linewidth=0,
+    )
+
+
+def visualize(ps, q, T_goal=None, points=None, ax=None, link_radius=0.025,
+              show_frames=True, show_obstacles=True):
+    """Render a solved 3D robot scene (urdf_visualization.py:158-177
+    capability, mesh-free): link cylinders at configuration q, joint frame
+    triads, obstacle spheres, goal frame(s), and optional solution points
+    (e.g. the solver's Y) as red balls.
+
+    Returns the 3D axes; call `.figure.savefig(...)` to export.
+    """
+    plt = _plt()
+    if ax is None:
+        fig = plt.figure(figsize=(7, 7))
+        ax = fig.add_subplot(projection="3d")
+    tpl = ps.template
+    from graphik_tpu.robots import kinematics as _kin
+
+    T_all = np.asarray(_kin.all_poses(tpl, np.asarray(q, dtype=float)))
+    for i in range(1, tpl.n + 1):
+        par = int(tpl.parents[i])
+        _cylinder(
+            ax, T_all[par, :3, 3], T_all[i, :3, 3], link_radius, "tab:blue"
+        )
+    if show_frames:
+        for i in range(tpl.n + 1):
+            _frame_triad(ax, T_all[i])
+    if T_goal is not None:
+        Tg = np.asarray(T_goal)
+        if Tg.ndim == 2:
+            Tg = Tg[None]
+        for T in Tg:
+            _frame_triad(ax, T, scale=0.18)
+    if points is not None:
+        pts = np.asarray(points)
+        ax.scatter(
+            pts[..., 0].ravel(), pts[..., 1].ravel(), pts[..., 2].ravel(),
+            color="tab:red", s=25, alpha=0.8,
+        )
+    if show_obstacles:
+        u, v = np.mgrid[0 : 2 * np.pi : 14j, 0 : np.pi : 10j]
+        for center, radius in ps.obstacles:
+            x = center[0] + radius * np.cos(u) * np.sin(v)
+            y = center[1] + radius * np.sin(u) * np.sin(v)
+            z = center[2] + radius * np.cos(v)
+            ax.plot_surface(x, y, z, color="tab:red", alpha=0.25, linewidth=0)
+    ax.set_box_aspect((1, 1, 1))
     return ax
 
 

@@ -85,3 +85,24 @@ class TestEnvironments:
         for center, radius in obs:
             assert center.shape == (3,)
             assert radius > 0
+
+
+class TestVisualization:
+    def test_visualize_scene_renders(self, tmp_path):
+        """Mesh-free scene render (urdf_visualization.py:158-177 analogue)."""
+        import numpy as np
+
+        from graphik_tpu.graphs.problem import ProblemStructure
+        from graphik_tpu.robots.library import load_ur10
+        from graphik_tpu.utils import visualization as viz
+
+        tpl, _ = load_ur10()
+        ps = ProblemStructure.from_template(
+            tpl, obstacles=[(np.array([0.5, 0.5, 0.5]), 0.2)]
+        )
+        ax = viz.visualize(
+            ps, np.zeros(6), T_goal=np.eye(4), points=np.zeros((3, 3))
+        )
+        out = tmp_path / "scene.png"
+        ax.figure.savefig(out)
+        assert out.stat().st_size > 10_000
