@@ -64,26 +64,24 @@ def main():
         np.asarray(jax.tree_util.tree_leaves(tree)[0])
 
     def build(name):
-        if name == "planar6":
+        base = name.split("_restarts")[0].replace("_cidgik", "")
+        if base == "planar6":
             return library.load_planar_chain(6, limits=np.pi / 2)[1]
-        if name == "planar10":
+        if base == "planar10":
             return library.load_planar_chain(10, limits=np.pi / 2)[1]
-        if name == "ur10":
+        if base == "ur10":
             return library.load_ur10()[1]
-        if name == "kuka_iiwa":
+        if base == "kuka_iiwa":
             return library.load_kuka()[1]
-        if name == "lwa4d":
+        if base == "lwa4d":
             return library.load_schunk_lwa4d()[1]
-        if name in ("ur10_table", "ur10_restarts4", "ur10_cidgik"):
-            ps = library.load_ur10()[1]
-            if name == "ur10_table":
-                from graphik_tpu.graphs.problem import ProblemStructure
+        if base == "ur10_table":
+            from graphik_tpu.graphs.problem import ProblemStructure
 
-                tpl = ps.template
-                return ProblemStructure.from_template(
-                    tpl, obstacles=table_environment()
-                )
-            return ps
+            tpl = library.load_ur10()[0]
+            return ProblemStructure.from_template(
+                tpl, obstacles=table_environment()
+            )
         raise ValueError(name)
 
     def run_riemannian(ps, B, restarts=0):
@@ -140,7 +138,9 @@ def main():
 
     def run_cidgik(ps, B):
         from graphik_tpu.solvers import cidgik as cd
+        from graphik_tpu.solvers.cidgik import CidgikParams
 
+        cparams = CidgikParams(admm_iters=800, max_outer=8)
         comp = cd.compile_cidgik(ps)
         key = jax.random.PRNGKey(0)
         T_goal, q_goal = api.random_goals(ps, key, (B,))
@@ -148,8 +148,15 @@ def main():
         sync(T_goal)
 
         def pipeline(Tg):
-            out = cd.solve_cidgik(comp, Tg)
+            # f32 ADMM lands in the right basin at ~cm accuracy; the GN
+            # polish provides the final precision the reference gets from
+            # MOSEK's 1e-6 interior point (sdp_formulations.py:9-43).
+            out = cd.solve_cidgik(comp, Tg, params=cparams)
             e_pos, e_rot = api.pose_error(ps, out["q"], Tg)
+            viol, ok = ps.check_distance_limits(ps.realization(out["q"]))
+            q, e_pos, e_rot, viol, ok = api.polish_solution(
+                ps, out["q"], Tg, e_pos, e_rot, viol, ok
+            )
             return e_pos, e_rot
 
         solver = jax.jit(pipeline)
@@ -173,7 +180,8 @@ def main():
 
     all_configs = [
         "planar6", "planar10", "ur10", "kuka_iiwa", "lwa4d",
-        "ur10_table", "ur10_restarts4", "ur10_cidgik",
+        "ur10_table", "planar6_restarts2", "planar10_restarts2",
+        "ur10_restarts4", "ur10_cidgik",
     ]
     sel = os.environ.get("BENCH_CONFIGS")
     configs = sel.split(",") if sel else all_configs
@@ -183,10 +191,11 @@ def main():
         ps = build(name)
         log(f"config {name}: start")
         try:
-            if name == "ur10_cidgik":
+            if name.endswith("_cidgik"):
                 results[name] = run_cidgik(ps, min(batch, 256))
-            elif name == "ur10_restarts4":
-                results[name] = run_riemannian(ps, batch // 4, restarts=4)
+            elif "_restarts" in name:
+                r = int(name.split("_restarts")[1])
+                results[name] = run_riemannian(ps, batch // r, restarts=r)
             else:
                 results[name] = run_riemannian(ps, batch)
             log(f"config {name}: done {results[name]}")

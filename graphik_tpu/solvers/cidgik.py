@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from graphik_tpu.graphs.problem import ProblemStructure
+from graphik_tpu.ops.jacobi import jacobi_eigh
 
 FEASIBLE = 0
 INFEASIBLE = 1
@@ -310,6 +311,11 @@ class CidgikParams:
     abs_tol: float = 1e-6  # eig-sum/cost tolerances (convex_iteration.py:169-171)
     rel_tol: float = 1e-3
     feas_tol: float = 1e-4  # primal residual -> FEASIBLE/INFEASIBLE
+    # Eigendecomposition backend for the cone/Fantope projections:
+    # fixed-sweep Jacobi (ops/jacobi.py) keeps the compiled program tiny -
+    # XLA's iterative eigh inside while x scan x vmap takes >25 min to
+    # compile on TPU. 0 = use jnp.linalg.eigh.
+    eigh_sweeps: int = 8
 
 
 def _solve_sdp_admm(A_eq, b_eq, A_in, lo, hi, C, Z0, s0, u0, params):
@@ -347,7 +353,10 @@ def _solve_sdp_admm(A_eq, b_eq, A_in, lo, hi, C, Z0, s0, u0, params):
         return Z_new, t_new
 
     def cone_project(W, t):
-        lam, Q = jnp.linalg.eigh(W)
+        if params.eigh_sweeps:
+            lam, Q = jacobi_eigh(W, sweeps=params.eigh_sweeps)
+        else:
+            lam, Q = jnp.linalg.eigh(W)
         lam = jnp.maximum(lam, 0.0)
         Wp = (Q * lam[None, :]) @ Q.T
         tp = jnp.clip(t, lo, hi) if m_in else t
@@ -388,10 +397,13 @@ def _solve_sdp_admm(A_eq, b_eq, A_in, lo, hi, C, Z0, s0, u0, params):
     return Z, t, (Uz, ut), feas
 
 
-def _fantope(Z, d):
+def _fantope(Z, d, eigh_sweeps: int = 8):
     """Closed-form Fantope projection C = U_{d:} U_{d:}^T
     (convex_iteration.py:43-53) and the excess-rank eigenvalue sum."""
-    lam, Q = jnp.linalg.eigh(Z)  # ascending
+    if eigh_sweeps:
+        lam, Q = jacobi_eigh(Z, sweeps=eigh_sweeps)  # ascending
+    else:
+        lam, Q = jnp.linalg.eigh(Z)  # ascending
     n_small = Z.shape[-1] - d
     U = Q[..., :n_small]  # all but the top-d eigenvectors
     C = U @ jnp.swapaxes(U, -1, -2)
@@ -504,7 +516,7 @@ def solve_cidgik(
             Z_new, t_new, U_new, feas = _solve_sdp_admm(
                 A_eq, b_eq, A_in, lo, hi, C, Z, t, U, params
             )
-            C_new, eig_sum = _fantope(Z_new, d)
+            C_new, eig_sum = _fantope(Z_new, d, params.eigh_sweeps)
             cost = jnp.sum(C * Z_new)
             change = jnp.abs(last_cost - cost)
             rel = change / jnp.maximum(jnp.abs(last_cost), 1e-30)

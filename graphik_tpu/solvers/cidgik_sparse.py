@@ -40,6 +40,7 @@ from graphik_tpu.solvers.cidgik import (
     INFEASIBLE,
     CidgikParams,
 )
+from graphik_tpu.ops.jacobi import jacobi_eigh
 from graphik_tpu.utils.chordal import chordal_cliques
 
 
@@ -365,7 +366,10 @@ def _solve_sdp_admm_blocks(A_eq, b_eq, A_in, lo, hi, C, Z0, t0, U0, params):
         return Z_new, t_new
 
     def cone_project(W, t):
-        lam, Q = jnp.linalg.eigh(W)  # batched over cliques
+        if params.eigh_sweeps:
+            lam, Q = jacobi_eigh(W, sweeps=params.eigh_sweeps)
+        else:
+            lam, Q = jnp.linalg.eigh(W)  # batched over cliques
         lam = jnp.maximum(lam, 0.0)
         Wp = jnp.einsum("kij,kj,klj->kil", Q, lam, Q)
         tp = jnp.clip(t, lo, hi) if m_in else t
@@ -408,7 +412,7 @@ def _solve_sdp_admm_blocks(A_eq, b_eq, A_in, lo, hi, C, Z0, t0, U0, params):
     return Z, t, (Uz, ut), feas
 
 
-def _fantope_blocks(Z, d, member):
+def _fantope_blocks(Z, d, member, eigh_sweeps: int = 8):
     """Per-clique Fantope projection + excess-rank eigenvalue sum.
 
     Pad-safe formulation: the rank-d-complement projector within each
@@ -418,7 +422,10 @@ def _fantope_blocks(Z, d, member):
     Excess-rank sum = sum_k (tr Z_k - sum of top-d eigenvalues), the
     per-block generalization of convex_iteration.py:43-53.
     """
-    lam, Q = jnp.linalg.eigh(Z)  # (K, ds), ascending
+    if eigh_sweeps:
+        lam, Q = jacobi_eigh(Z, sweeps=eigh_sweeps)  # (K, ds), ascending
+    else:
+        lam, Q = jnp.linalg.eigh(Z)  # (K, ds), ascending
     ds = Z.shape[-1]
     d_top = Q[:, :, ds - d:]  # (K, ds, d) top-d eigenvectors
     proj_top = jnp.einsum("kij,klj->kil", d_top, d_top)
@@ -468,7 +475,9 @@ def solve_cidgik_sparse(
             Z_new, t_new, U_new, feas = _solve_sdp_admm_blocks(
                 A_eq, b_eq, A_in, lo, hi, C, Z, t, U, params
             )
-            C_new, eig_sum = _fantope_blocks(Z_new, d, comp.member)
+            C_new, eig_sum = _fantope_blocks(
+                Z_new, d, comp.member, params.eigh_sweeps
+            )
             cost = jnp.sum(C * Z_new)
             change = jnp.abs(last_cost - cost)
             rel = change / jnp.maximum(jnp.abs(last_cost), 1e-30)

@@ -7,16 +7,20 @@ PSDFixedRank quotient manifold (utils/manifolds/fixed_rank_psd_sym.py:23-138):
 * A point is Y in R^{N x d} representing the Gram matrix Y Y^T.
 * The horizontal projection solves the Lyapunov system
   (Y^T Y) Om + Om (Y^T Y) = Y^T Z - Z^T Y (fixed_rank_psd_sym.py:91-113);
-  here via a closed-form d x d eigh instead of the reference's unrolled
-  9x9 linear solve - batched and branch-free.
+  exploiting antisymmetry of Om it reduces to a d(d-1)/2-unknown SPD
+  solve (3x3 for d=3) instead of the reference's unrolled 9x9 system -
+  batched and branch-free (see manifold_proj).
 * Retraction is Y + U (fixed_rank_psd_sym.py:137-138); the Euclidean
   gradient is already horizontal for this cost, matching the reference's
   egrad2rgrad identity (fixed_rank_psd_sym.py:123-124).
 
-The outer TR loop and the Steihaug-Toint tCG inner loop are expressed as
-per-instance `lax.while_loop`s and vmapped over the batch; converged lanes
-freeze their state so radius/rho bookkeeping stays exact per instance
-(SURVEY.md section 7.3).
+Three backends share the algorithm:
+* "pallas" (default): the ENTIRE outer-TR + truncated-CG loop fused into
+  one Pallas TPU kernel over the compiled edge form (ops/tr_pallas.py) -
+  the production hot path (f32; float64 inputs fall back to dense).
+* "dense"/"edge": per-instance `lax.while_loop`s vmapped over the batch
+  (converged lanes freeze their state so radius/rho bookkeeping stays
+  exact per instance, SURVEY.md section 7.3) - the float64 oracle paths.
 """
 
 from __future__ import annotations
@@ -504,13 +508,23 @@ def solve(
     return fn(Y0, D_goal)
 
 
-def generate_initialization(lb, ub, omega, dim, key=None):
+def generate_initialization(lb, ub, omega, dim, key=None, eigh_sweeps=None):
     """Deterministic (or sampled) MDS initialization from smoothed bounds.
 
     Mirrors RiemannianSolver.generate_initialization
     (riemannian_solver.py:67-75): D = (lb + 0.9 (ub - lb))^2 -> Gram -> MDS
     -> linear projection onto R^dim along dominant edge-scatter directions.
+
+    eigh_sweeps: None = auto (fixed-sweep Jacobi on TPU f32 where XLA's
+    iterative eigh is slow for small batched matrices; exact eigh
+    elsewhere); 0 = exact; >0 = that many Jacobi sweeps.
     """
     D_rand = dgp.sample_distance_matrix(lb, ub, key=key)
-    X = dgp.mds(dgp.gram_from_distance_matrix(D_rand), eps=1e-8)
-    return dgp.linear_projection(X, omega, dim)
+    if eigh_sweeps is None:
+        eigh_sweeps = (
+            8 if (jax.default_backend() == "tpu"
+                  and jnp.asarray(lb).dtype == jnp.float32) else 0
+        )
+    X = dgp.mds(dgp.gram_from_distance_matrix(D_rand), eps=1e-8,
+                eigh_sweeps=eigh_sweeps)
+    return dgp.linear_projection(X, omega, dim, eigh_sweeps=eigh_sweeps)

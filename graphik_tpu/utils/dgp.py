@@ -51,7 +51,18 @@ def distance_matrix_from_pos(Y):
 # Spectral factorization / MDS init
 # ---------------------------------------------------------------------------
 
-def factor_psd(A, eps=0.0):
+def _eigh(A, sweeps=0):
+    """Symmetric eigendecomposition; sweeps>0 selects the fixed-sweep
+    Jacobi solver (ops/jacobi.py) whose compiled program is tiny and fast
+    for the small batched matrices of the init path."""
+    if sweeps:
+        from graphik_tpu.ops.jacobi import jacobi_eigh
+
+        return jacobi_eigh(A, sweeps=sweeps)
+    return jnp.linalg.eigh(A)
+
+
+def factor_psd(A, eps=0.0, eigh_sweeps=0):
     """Return X with XX^T ~= closest-PSD(A), eigenvalues in descending order.
 
     Batched equivalent of `factor` (dgp.py:150-159): eigendecompose, clamp
@@ -60,22 +71,22 @@ def factor_psd(A, eps=0.0):
     columns for near-zero eigenvalues are ~0 and harmless downstream.
     """
     A = jnp.asarray(A)
-    evals, evecs = jnp.linalg.eigh(A)  # ascending
+    evals, evecs = _eigh(A, eigh_sweeps)  # ascending
     evals = jnp.where(evals > eps, evals, 0.0)
     X = evecs * jnp.sqrt(evals)[..., None, :]
     return jnp.flip(X, axis=-1)
 
 
-def mds(B, eps=1e-8):
+def mds(B, eps=1e-8, eigh_sweeps=0):
     """Classic multidimensional scaling of a Gram matrix (dgp.py:163-171).
 
     Unlike the reference we keep a fixed number of columns (all N) so the
     result is jit-friendly; trailing columns carry ~zero energy.
     """
-    return factor_psd(B, eps=eps)
+    return factor_psd(B, eps=eps, eigh_sweeps=eigh_sweeps)
 
 
-def linear_projection(P, F, dim):
+def linear_projection(P, F, dim, eigh_sweeps=0):
     """Project points onto the dominant `dim`-dim subspace of the edge scatter.
 
     Batched equivalent of dgp.py:174-183: S = sum over nonzero (i,j) of F of
@@ -93,7 +104,7 @@ def linear_projection(P, F, dim):
     PtP_j = jnp.einsum("...j,...jk,...jl->...kl", deg_j, P, P)
     cross = jnp.einsum("...ij,...ik,...jl->...kl", mask, P, P)
     S = PtP_i + PtP_j - cross - jnp.swapaxes(cross, -1, -2)
-    _, eigvec = jnp.linalg.eigh(S)  # ascending
+    _, eigvec = _eigh(S, eigh_sweeps)  # ascending
     basis = jnp.flip(eigvec, axis=-1)[..., :, :dim]
     return P @ basis
 

@@ -1,0 +1,116 @@
+"""Render PARITY.md from PARITY.json (+ optional bench / CIDGIK sweep data).
+
+Usage: python tools/render_parity.py [--bench BENCH.json] [--sweep CIDGIK_SWEEP.json]
+"""
+
+import argparse
+import json
+import os
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--parity", default="PARITY.json")
+    ap.add_argument("--bench", default=None)
+    ap.add_argument("--sweep", default="CIDGIK_SWEEP.json")
+    ap.add_argument("--out", default="PARITY.md")
+    args = ap.parse_args()
+
+    with open(args.parity) as f:
+        parity = json.load(f)
+
+    bench = None
+    if args.bench and os.path.exists(args.bench):
+        with open(args.bench) as f:
+            bench = json.load(f).get("configs", {})
+
+    lines = [
+        "# PARITY — success-rate denominator and measured ratios",
+        "",
+        "The reference cannot execute here (pymanopt/cvxpy/liegroups/numba "
+        "unavailable, installs disallowed), so the denominator is this "
+        "framework's faithful float64 replication of the reference "
+        "algorithm under the reference's own budgets:",
+        "",
+        f"> {parity['harness']}, seed {parity['seed']}",
+        "",
+        "Criteria: *experiment* = pos err < 0.01 ∧ rot err < 0.01 ∧ "
+        "limit-feasible (test_chain_2d_limits_new.py:73-77); *baseline* = "
+        "pos < 1 mm ∧ rot < 1° ∧ feasible (BASELINE.md).",
+        "",
+        "## Reference-faithful denominator (f64 CPU, no polish)",
+        "",
+        "| config | success (experiment) | success (baseline) | median pos err | mean iters |",
+        "|---|---|---|---|---|",
+    ]
+    for name, r in parity["results"].items():
+        lines.append(
+            f"| {name} | {r['success_rate_experiment']:.2f} | "
+            f"{r['success_rate_baseline']:.2f} | "
+            f"{r['median_pos_err']:.2e} | {r['mean_iterations']:.0f} |"
+        )
+
+    if bench:
+        lines += [
+            "",
+            "## TPU f32 production pipeline vs denominator "
+            "(baseline criterion)",
+            "",
+            "| config | TPU success | denominator | ratio | solves/s/chip |",
+            "|---|---|---|---|---|",
+        ]
+        den_map = {
+            "planar6": "planar6_limits",
+            "planar10": "planar10_limits",
+            "planar6_restarts2": "planar6_limits",
+            "planar10_restarts2": "planar10_limits",
+            "ur10": "ur10",
+            "ur10_restarts4": "ur10",
+            "kuka_iiwa": "kuka_iiwa",
+            "lwa4d": "lwa4d",
+            "ur10_table": "ur10_table",
+        }
+        for cfg, b in bench.items():
+            if "success_rate" not in b:
+                continue
+            den_name = den_map.get(cfg)
+            den = (
+                parity["results"].get(den_name, {})
+                .get("success_rate_baseline")
+                if den_name
+                else None
+            )
+            ratio = (
+                f"{b['success_rate'] / den:.3f}" if den else "—"
+            )
+            lines.append(
+                f"| {cfg} | {b['success_rate']:.3f} | "
+                f"{den if den is not None else '—'} | {ratio} | "
+                f"{b.get('effective_solves_per_sec', '—')} |"
+            )
+
+    if os.path.exists(args.sweep):
+        with open(args.sweep) as f:
+            sweep = json.load(f)
+        lines += [
+            "",
+            "## CIDGIK success rates (f64 CPU, 256 goals, "
+            "dense vs sparse chordal)",
+            "",
+            "| config | success @1cm | success @1mm | feasible | median eig-sum |",
+            "|---|---|---|---|---|",
+        ]
+        for name, r in sweep.items():
+            lines.append(
+                f"| {name} | {r['success_rate_1cm']:.3f} | "
+                f"{r['success_rate_1mm']:.3f} | {r['feasible_rate']:.3f} | "
+                f"{r['median_eig_sum']:.2e} |"
+            )
+
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {args.out} ({len(lines)} lines)")
+
+
+if __name__ == "__main__":
+    main()
