@@ -355,12 +355,18 @@ def _solve_sdp_admm_blocks(A_eq, b_eq, A_in, lo, hi, C, Z0, t0, U0, params):
     def apply_A(A, Z):
         return jnp.einsum("mkij,kij->m", A, Z)
 
+    def solve_gram(r):
+        y = jax.scipy.linalg.cho_solve(chol, r)
+        for _ in range(params.refine_steps):
+            y = y + jax.scipy.linalg.cho_solve(chol, r - Gmm @ y)
+        return y
+
     def affine_project(Z, t):
         parts = [apply_A(A_eq, Z) - b_eq]
         if m_in:
             parts.append(apply_A(A_in, Z) - t)
         r = jnp.concatenate(parts)
-        y = jax.scipy.linalg.cho_solve(chol, r)
+        y = solve_gram(r)
         Z_new = Z - jnp.einsum("m,mkij->kij", y, A_all)
         t_new = t + y[m_eq:] if m_in else t
         return Z_new, t_new
