@@ -54,3 +54,90 @@ def chol_solve_unrolled(L, b):
 def spd_solve_unrolled(A, b):
     """x = A^{-1} b for small SPD A (..., m, m), b (..., m)."""
     return chol_solve_unrolled(chol_unrolled(A), b)
+
+
+def chol_blocked(A, block: int = 16):
+    """Blocked right-looking Cholesky built from explicit JAX dots.
+
+    On TPU, `lax.linalg.cholesky` lowers to XLA's internal decomposition
+    whose matmul passes run at default (bf16) precision for f32 - outside
+    `default_matmul_precision`'s reach - which is catastrophic for the
+    ill-conditioned constraint Grams of the CIDGIK ADMM. This version uses
+    only jnp ops (unrolled diagonal blocks + HIGHEST-precision trailing
+    updates), so f32 results track f64 to ~1e-6.
+    """
+    import jax
+
+    m = A.shape[-1]
+    hp = jax.lax.Precision.HIGHEST
+    L = jnp.zeros_like(A)
+    for j0 in range(0, m, block):
+        j1 = min(j0 + block, m)
+        Ablk = A[..., j0:j1, j0:j1] - jnp.matmul(
+            L[..., j0:j1, :j0], jnp.swapaxes(L[..., j0:j1, :j0], -1, -2),
+            precision=hp,
+        )
+        Lblk = chol_unrolled(Ablk)
+        L = L.at[..., j0:j1, j0:j1].set(Lblk)
+        if j1 < m:
+            panel = A[..., j1:, j0:j1] - jnp.matmul(
+                L[..., j1:, :j0], jnp.swapaxes(L[..., j0:j1, :j0], -1, -2),
+                precision=hp,
+            )
+            # solve panel @ Lblk^T = rhs  (forward substitution, unrolled)
+            P = jnp.zeros_like(panel)
+            for k in range(j1 - j0):
+                acc = panel[..., :, k] - jnp.einsum(
+                    "...ij,...j->...i", P[..., :, :k], Lblk[..., k, :k]
+                )
+                P = P.at[..., :, k].set(acc / Lblk[..., k, k][..., None])
+            L = L.at[..., j1:, j0:j1].set(P)
+    return L
+
+
+def tri_lower_inv_blocked(L, block: int = 16):
+    """Inverse of a lower-triangular matrix via blocked substitution
+    (explicit HIGHEST-precision dots; see chol_blocked)."""
+    import jax
+
+    m = L.shape[-1]
+    hp = jax.lax.Precision.HIGHEST
+    Inv = jnp.zeros_like(L)
+    # invert diagonal blocks by unrolled forward substitution on I
+    for j0 in range(0, m, block):
+        j1 = min(j0 + block, m)
+        B = L[..., j0:j1, j0:j1]
+        nb = j1 - j0
+        E = jnp.zeros_like(B)
+        for c in range(nb):
+            rhs = jnp.zeros(B.shape[:-2] + (nb,), B.dtype).at[..., c].set(1.0)
+            x = jnp.zeros_like(rhs)
+            for i in range(nb):
+                acc = rhs[..., i] - jnp.einsum(
+                    "...j,...j->...", B[..., i, :i], x[..., :i]
+                )
+                x = x.at[..., i].set(acc / B[..., i, i])
+            E = E.at[..., :, c].set(x)
+        Inv = Inv.at[..., j0:j1, j0:j1].set(E)
+    # off-diagonal blocks: Inv[i, j] = -Dinv_i @ L[i, k] @ Inv[k, j]
+    for i0 in range(block, m, block):
+        i1 = min(i0 + block, m)
+        Dinv = Inv[..., i0:i1, i0:i1]
+        for j0 in range(0, i0, block):
+            j1 = min(j0 + block, m)
+            S = jnp.matmul(
+                L[..., i0:i1, j0:i0], Inv[..., j0:i0, j0:j1], precision=hp
+            )
+            Inv = Inv.at[..., i0:i1, j0:j1].set(
+                -jnp.matmul(Dinv, S, precision=hp)
+            )
+    return Inv
+
+
+def spd_inverse_factor(A, block: int = 16):
+    """Linv with A^{-1} = Linv^T Linv (A SPD), bf16-safe on TPU.
+
+    Solving A x = b then costs two HIGHEST-precision matmuls:
+    x = Linv^T (Linv b).
+    """
+    return tri_lower_inv_blocked(chol_blocked(A, block), block)

@@ -37,6 +37,7 @@ import jax.numpy as jnp
 
 from graphik_tpu.graphs.problem import ProblemStructure
 from graphik_tpu.ops.jacobi import jacobi_eigh
+from graphik_tpu.ops.linalg import spd_inverse_factor
 
 FEASIBLE = 0
 INFEASIBLE = 1
@@ -343,12 +344,23 @@ def _solve_sdp_admm(A_eq, b_eq, A_in, lo, hi, C, Z0, s0, u0, params):
     Gmm = Gmm + 1e-9 * jnp.trace(Gmm) / Gmm.shape[0] * jnp.eye(
         Gmm.shape[0], dtype=Gmm.dtype
     )
-    chol = jax.scipy.linalg.cho_factor(Gmm)
+    # bf16-safe inverse factor: lax.linalg.cholesky lowers to XLA's
+    # internal decomposition whose matmuls run at bf16 on TPU f32,
+    # corrupting the affine projection; spd_inverse_factor uses explicit
+    # HIGHEST-precision dots (ops/linalg.py).
+    Linv = spd_inverse_factor(Gmm)
+    hp = jax.lax.Precision.HIGHEST
 
     def solve_gram(r):
-        y = jax.scipy.linalg.cho_solve(chol, r)
+        def apply_inv(v):
+            return jnp.matmul(
+                jnp.swapaxes(Linv, -1, -2),
+                jnp.matmul(Linv, v, precision=hp), precision=hp,
+            )
+
+        y = apply_inv(r)
         for _ in range(params.refine_steps):
-            y = y + jax.scipy.linalg.cho_solve(chol, r - Gmm @ y)
+            y = y + apply_inv(r - jnp.matmul(Gmm, y, precision=hp))
         return y
 
     def affine_project(Z, t):

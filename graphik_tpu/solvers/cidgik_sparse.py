@@ -41,6 +41,7 @@ from graphik_tpu.solvers.cidgik import (
     CidgikParams,
 )
 from graphik_tpu.ops.jacobi import jacobi_eigh
+from graphik_tpu.ops.linalg import spd_inverse_factor
 from graphik_tpu.utils.chordal import chordal_cliques
 
 
