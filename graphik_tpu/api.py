@@ -33,7 +33,17 @@ def pose_error(structure: ProblemStructure, q, T_goal):
     Matches the experiment metrics (test_chain_2d_new.py:63-66): position
     error is the translation norm; rotation error is the norm of the
     rotation part of log(T_goal T_sol^-1).
+
+    Runs at HIGHEST matmul precision regardless of caller scope: at TPU's
+    default bf16 passes the FK chain and the R_goal R_sol^T product carry
+    ~1e-2 relative noise, turning a converged mm-accurate solution into an
+    apparent cm-level failure.
     """
+    with jax.default_matmul_precision("highest"):
+        return _pose_error_impl(structure, q, T_goal)
+
+
+def _pose_error_impl(structure: ProblemStructure, q, T_goal):
     tpl = structure.template
     q = jnp.asarray(q)
     T_goal = jnp.asarray(T_goal, dtype=q.dtype)

@@ -418,10 +418,15 @@ class ProblemStructure:
         graph_planar.py:147-176. `pos` is (..., N, dim); `T_goal` optionally
         supplies end-effector poses for the final-joint correction when the
         last relative translation is along z (graph_revolute.py:313-316).
+
+        HIGHEST matmul precision regardless of caller scope: the per-joint
+        frame accumulation is a matmul chain whose bf16 default on TPU
+        injects ~1e-2 relative angle noise.
         """
-        if self.dim == 3:
-            return _joint_variables_revolute(self, pos, T_goal)
-        return _joint_variables_planar(self, pos)
+        with jax.default_matmul_precision("highest"):
+            if self.dim == 3:
+                return _joint_variables_revolute(self, pos, T_goal)
+            return _joint_variables_planar(self, pos)
 
 
 # ---------------------------------------------------------------------------

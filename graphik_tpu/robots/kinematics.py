@@ -56,7 +56,13 @@ def prefix_products(template: RobotTemplate, q):
 
 @partial(jax.jit, static_argnums=0)
 def all_poses(template: RobotTemplate, q):
-    """Poses of every joint frame: (..., n) -> (..., n+1, hd, hd)."""
+    """Poses of every joint frame: (..., n) -> (..., n+1, hd, hd).
+
+    Forced to HIGHEST matmul precision: the n-deep 4x4 pose chain at TPU's
+    default bf16 passes accumulates ~1e-2 relative error - centimetres of
+    end-effector position - which silently corrupts any error metric or
+    solver residual computed outside a precision scope.
+    """
     tpl = template
     T0 = jnp.asarray(tpl.T0, dtype=q.dtype)
 
@@ -66,7 +72,8 @@ def all_poses(template: RobotTemplate, q):
 
     for _ in range(q.ndim - 1):
         single = jax.vmap(single)
-    return single(q)
+    with jax.default_matmul_precision("highest"):
+        return single(q)
 
 
 def pose(template: RobotTemplate, q, node: int):
@@ -115,7 +122,8 @@ def jacobian(template: RobotTemplate, q, node: int):
 
     for _ in range(q.ndim - 1):
         single = jax.vmap(single)
-    return single(q)
+    with jax.default_matmul_precision("highest"):
+        return single(q)
 
 
 @partial(jax.jit, static_argnums=(0, 2))
@@ -145,7 +153,8 @@ def jacobian_geometric(template: RobotTemplate, q, node: int):
 
     for _ in range(q.ndim - 1):
         single = jax.vmap(single)
-    return single(q)
+    with jax.default_matmul_precision("highest"):
+        return single(q)
 
 
 @partial(jax.jit, static_argnums=0)
@@ -181,7 +190,8 @@ def linear_jacobians(template: RobotTemplate, q):
 
     for _ in range(q.ndim - 1):
         single = jax.vmap(single)
-    return single(q)
+    with jax.default_matmul_precision("highest"):
+        return single(q)
 
 
 def _ancestor_matrix(template: RobotTemplate):

@@ -322,6 +322,17 @@ class CidgikParams:
     # the raw solve biases the ADMM fixed point by ~cm; one refinement step
     # recovers near-f64 solve quality at ~2x the solve cost.
     refine_steps: int = 1
+    # Residual-balancing rho adaptation (Boyd et al. sec 3.4.1): when the
+    # primal residual exceeds adapt_mu x the dual residual, multiply rho by
+    # adapt_tau and rescale the scaled duals (and vice versa). 0 disables
+    # (default: on this problem family unbounded growth of rho drowns the
+    # linear rank-forcing cost C/rho and stalls the convex iteration, so
+    # adaptation is opt-in and rho is clipped to [adapt_lo, adapt_hi]).
+    adapt_every: int = 0
+    adapt_mu: float = 10.0
+    adapt_tau: float = 2.0
+    adapt_lo: float = 0.3
+    adapt_hi: float = 3.0
 
 
 def _solve_sdp_admm(A_eq, b_eq, A_in, lo, hi, C, Z0, s0, u0, params):
@@ -386,28 +397,50 @@ def _solve_sdp_admm(A_eq, b_eq, A_in, lo, hi, C, Z0, s0, u0, params):
         return Wp, tp
 
     alpha = params.relax  # over-relaxation
+    dt = Z0.dtype
 
     def cond(carry):
-        Z, t, Uz, ut, k, res = carry
+        Z, t, Uz, ut, rho_c, k, res = carry
         return (res > params.admm_tol) & (k < params.admm_iters)
 
     def body(carry):
-        Z, t, Uz, ut, k, _ = carry
+        Z, t, Uz, ut, rho_c, k, _ = carry
         # prox of <C,Z> + affine indicator at (W - U): shift by C/rho, project
-        Z1, t1 = affine_project(Z - Uz - C / rho, t - ut)
+        Z1, t1 = affine_project(Z - Uz - C / rho_c, t - ut)
         # over-relaxed cone projection
         Zr = alpha * Z1 + (1.0 - alpha) * Z
         tr = alpha * t1 + (1.0 - alpha) * t
         Z2, t2 = cone_project(Zr + Uz, tr + ut)
         Uz_new = Uz + Zr - Z2
         ut_new = ut + tr - t2
-        res = jnp.sqrt(
+        pri = jnp.sqrt(
             jnp.sum((Z1 - Z2) ** 2) + (jnp.sum((t1 - t2) ** 2) if m_in else 0.0)
         )
-        return (Z2, t2, Uz_new, ut_new, k + 1, res)
+        dua = rho_c * jnp.sqrt(
+            jnp.sum((Z2 - Z) ** 2) + (jnp.sum((t2 - t) ** 2) if m_in else 0.0)
+        )
+        if params.adapt_every:
+            # residual balancing (Boyd et al. 3.4.1); scaled duals rescale
+            # with 1/rho so the unscaled dual variable is continuous.
+            up = pri > params.adapt_mu * dua
+            down = dua > params.adapt_mu * pri
+            scale = jnp.where(
+                (k % params.adapt_every == params.adapt_every - 1),
+                jnp.where(up, params.adapt_tau,
+                          jnp.where(down, 1.0 / params.adapt_tau, 1.0)),
+                1.0,
+            ).astype(dt)
+            rho_new = jnp.clip(rho_c * scale, params.adapt_lo, params.adapt_hi)
+            adj = rho_c / rho_new
+            Uz_new = Uz_new * adj
+            ut_new = ut_new * adj
+        else:
+            rho_new = rho_c
+        return (Z2, t2, Uz_new, ut_new, rho_new, k + 1, pri)
 
-    init = (Z0, s0, u0[0], u0[1], jnp.zeros((), jnp.int32), jnp.asarray(jnp.inf, Z0.dtype))
-    Z, t, Uz, ut, _, _ = jax.lax.while_loop(cond, body, init)
+    init = (Z0, s0, u0[0], u0[1], jnp.asarray(rho, dt),
+            jnp.zeros((), jnp.int32), jnp.asarray(jnp.inf, dt))
+    Z, t, Uz, ut, _, _, _ = jax.lax.while_loop(cond, body, init)
 
     # primal feasibility of the returned cone-feasible iterate
     r_eq = jnp.einsum("mij,ij->m", A_eq, Z) - b_eq
