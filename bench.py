@@ -154,12 +154,12 @@ def main():
             # polish provides the final precision the reference gets from
             # MOSEK's 1e-6 interior point (sdp_formulations.py:9-43).
             out = cd.solve_cidgik(comp, Tg, params=cparams)
-            e_pos, e_rot = api.pose_error(ps, out["q"], Tg)
+            e_pos0, e_rot0 = api.pose_error(ps, out["q"], Tg)
             viol, ok = ps.check_distance_limits(ps.realization(out["q"]))
             q, e_pos, e_rot, viol, ok = api.polish_solution(
-                ps, out["q"], Tg, e_pos, e_rot, viol, ok
+                ps, out["q"], Tg, e_pos0, e_rot0, viol, ok
             )
-            return e_pos, e_rot
+            return e_pos0, e_rot0, e_pos, e_rot
 
         solver = jax.jit(pipeline)
         t0 = time.perf_counter()
@@ -170,11 +170,15 @@ def main():
         out = solver(T_goal)
         sync(out)
         wall = time.perf_counter() - t0
-        e_pos, e_rot = (np.asarray(x) for x in out)
+        e_pos0, e_rot0, e_pos, e_rot = (np.asarray(x) for x in out)
+        raw = (e_pos0 < 1e-2) & (e_rot0 < 1e-2)
         hit = (e_pos < 1e-2) & (e_rot < 1e-2)
+        mm = (e_pos < 1e-3) & (e_rot < np.deg2rad(1.0))
         return {
             "throughput_solves_per_sec": round(B / wall, 2),
             "success_rate_1cm": round(float(hit.mean()), 4),
+            "success_rate_1mm": round(float(mm.mean()), 4),
+            "raw_admm_rate_1cm": round(float(raw.mean()), 4),
             "wall_s": round(wall, 4),
             "batch": B,
             "compile_s": round(compile_s, 1),

@@ -51,6 +51,14 @@ class EdgeProblem:
       aP                       (Ap, N) one-hot node selection
       acenters                 (Ap, dim) constant anchor points
       apsi_L, apsi_U, aL_mask, aU_mask  (Ap,) squared hinge bounds/masks
+
+    Grid layout (set whenever anchors exist): rows are grouped node-major -
+    group g holds the a_R rows of distinct node g (padding rows have zero
+    masks and an all-zero aP row), so Ap = a_nsel * a_R. The TR Pallas
+    kernel exploits this to replace the (Ap, N) one-hot matmuls (which
+    dominate obstacle-rich scenes: a table is ~600 anchor rows vs ~64
+    edges) with a tiny (a_nsel, N) selection, a sublane broadcast, and a
+    block row-sum. aPsel is the (pad8(a_nsel), N) distinct-node one-hot.
     """
 
     ei: np.ndarray
@@ -71,6 +79,10 @@ class EdgeProblem:
     apsi_U: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(0))
     aL_mask: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(0))
     aU_mask: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(0))
+    a_nsel: int = 0  # distinct anchored nodes (grid rows = a_nsel * a_R)
+    a_R: int = 0  # padded per-node block height (multiple of _SUBLANE)
+    aPsel: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0, 0)))
 
     @property
     def E(self) -> int:
@@ -131,22 +143,35 @@ def build_edge_problem(omega, psi_L, psi_U, L_mask=None, U_mask=None,
     akw = {}
     if anchors is not None and len(anchors["idx"]):
         idx = np.asarray(anchors["idx"], np.int64)
-        A = len(idx)
-        Ap = max(_SUBLANE, -(-A // _SUBLANE) * _SUBLANE)
-        P = np.zeros((Ap, N), np.float64)
-        P[np.arange(A), idx] = 1.0
-        cen = np.zeros((Ap, dim), np.float64)
-        cen[:A] = np.asarray(anchors["centers"], np.float64)[:, :dim]
+        centers = np.asarray(anchors["centers"], np.float64)[:, :dim]
+        vals = {k: np.asarray(anchors[k], np.float64)
+                for k in ("psi_L", "psi_U", "L_mask", "U_mask")}
 
-        def pad(v):
-            out = np.zeros(Ap, np.float64)
-            out[:A] = np.asarray(v, np.float64)
-            return out
+        # Node-major grid: one padded row-block per distinct anchored node.
+        sel_nodes = np.unique(idx)
+        n_sel = len(sel_nodes)
+        max_cnt = max(int((idx == u).sum()) for u in sel_nodes)
+        R = max(_SUBLANE, -(-max_cnt // _SUBLANE) * _SUBLANE)
+        Ap = n_sel * R
+        P = np.zeros((Ap, N), np.float64)
+        cen = np.zeros((Ap, dim), np.float64)
+        pads = {k: np.zeros(Ap, np.float64) for k in vals}
+        for g, u in enumerate(sel_nodes):
+            rows = np.nonzero(idx == u)[0]
+            dst = g * R + np.arange(len(rows))
+            P[dst, u] = 1.0
+            cen[dst] = centers[rows]
+            for k in vals:
+                pads[k][dst] = vals[k][rows]
+        n_sel_p = max(_SUBLANE, -(-n_sel // _SUBLANE) * _SUBLANE)
+        Psel = np.zeros((n_sel_p, N), np.float64)
+        Psel[np.arange(n_sel), sel_nodes] = 1.0
 
         akw = dict(
             aP=P, acenters=cen,
-            apsi_L=pad(anchors["psi_L"]), apsi_U=pad(anchors["psi_U"]),
-            aL_mask=pad(anchors["L_mask"]), aU_mask=pad(anchors["U_mask"]),
+            apsi_L=pads["psi_L"], apsi_U=pads["psi_U"],
+            aL_mask=pads["L_mask"], aU_mask=pads["U_mask"],
+            a_nsel=n_sel, a_R=R, aPsel=Psel,
         )
 
     return EdgeProblem(

@@ -61,6 +61,7 @@ def _tr_kernel(
     N: int, d: int, maxiter: int, maxinner: int, mingradnorm: float,
     kappa: float, theta: float, rho_prime: float, rho_regularization: float,
     Delta_bar: float, Delta0: float, mininner: int, has_anchors: bool,
+    a_nsel: int = 0, a_R: int = 0,
 ):
     f32 = jnp.float32
     C = c_ref[:]          # (Ep, N)
@@ -75,13 +76,38 @@ def _tr_kernel(
         ap_ref, apt_ref, apar_ref, y0_ref, act_ref, yout_ref, stats_ref = (
             rest_refs
         )
-        AP = ap_ref[:]        # (Ap, N) one-hot selection
-        APt = apt_ref[:]      # (N, Ap)
+        # Grid layout (a_nsel > 0): AP is the (pad8(a_nsel), N) DISTINCT-node
+        # one-hot; expansion to the (Ap, TB) anchor rows is a sublane
+        # broadcast and the scatter-back a block row-sum - the (Ap, N)
+        # matmuls this replaces dominate obstacle-rich scenes.
+        AP = ap_ref[:]
+        APt = apt_ref[:]
         apsiL = apar_ref[:, 0:1]
         apsiU = apar_ref[:, 1:2]
         aLm = apar_ref[:, 2:3]
         aUm = apar_ref[:, 3:4]
         acen = [apar_ref[:, 4 + k:5 + k] for k in range(d)]  # (Ap, 1) each
+
+        if a_nsel:
+            def a_expand(Yk):
+                """(N, TB) -> (Ap, TB): per-group broadcast of node rows."""
+                Ysel = _dot(AP, Yk)  # (pad8(a_nsel), TB)
+                return jnp.concatenate(
+                    [jnp.broadcast_to(Ysel[g:g + 1], (a_R, Ysel.shape[1]))
+                     for g in range(a_nsel)], axis=0)
+
+            def a_reduce(w):
+                """(Ap, TB) -> (N, TB): block row-sums then tiny scatter."""
+                gs = [_rowsum(w[g * a_R:(g + 1) * a_R])
+                      for g in range(a_nsel)]
+                n_sel_p = AP.shape[0]
+                if n_sel_p > a_nsel:
+                    gs.append(jnp.zeros((n_sel_p - a_nsel, w.shape[1]),
+                                        w.dtype))
+                return _dot(APt, jnp.concatenate(gs, axis=0))
+        else:
+            a_expand = lambda Yk: _dot(AP, Yk)
+            a_reduce = lambda w: _dot(APt, w)
     else:
         y0_ref, act_ref, yout_ref, stats_ref = rest_refs
     active = act_ref[:] > 0.0   # (1, TB)
@@ -106,7 +132,7 @@ def _tr_kernel(
         return s0, e1, e2
 
     def anchor_diffs(Y):
-        return [_dot(AP, Yk) - acen[k] for k, Yk in enumerate(blocks(Y))]
+        return [a_expand(Yk) - acen[k] for k, Yk in enumerate(blocks(Y))]
 
     def anchor_terms(adY):
         adist = adY[0] * adY[0]
@@ -129,7 +155,7 @@ def _tr_kernel(
             f = f + _rowsum(a1 * a1 + a2 * a2)
             sa = a1 - a2
             for k in range(d):
-                gk[k] = gk[k] - 2.0 * _dot(APt, sa * adY[k])
+                gk[k] = gk[k] - 2.0 * a_reduce(sa * adY[k])
         return f, jnp.concatenate(gk, axis=0)
 
     def gram_scalars(Y):
@@ -219,14 +245,14 @@ def _tr_kernel(
             mdD = m * dD
             Hk = [2.0 * _dot(Ct, mdD * dY[k] - s * dZ[k]) for k in range(d)]
             if has_anchors:
-                adZ = [_dot(AP, Zk) for Zk in blocks(Z)]
+                adZ = [a_expand(Zk) for Zk in blocks(Z)]
                 adD = adY[0] * adZ[0]
                 for k in range(1, d):
                     adD = adD + adY[k] * adZ[k]
                 amdD = ma * 2.0 * adD
                 for k in range(d):
-                    Hk[k] = Hk[k] + 2.0 * _dot(
-                        APt, amdD * adY[k] - sa * adZ[k]
+                    Hk[k] = Hk[k] + 2.0 * a_reduce(
+                        amdD * adY[k] - sa * adZ[k]
                     )
             return proj(Y, jnp.concatenate(Hk, axis=0), fac)
 
@@ -467,13 +493,14 @@ def solve_tr_pallas(
         Delta_bar = 10.0 + d
     if Delta0 is None:
         Delta0 = Delta_bar / 8.0
+    nsp = ep.aPsel.shape[0] if ep.a_nsel else Ap
     if tile is None:
         # Lane-tile sized to the VMEM footprint: per lane the kernel keeps
         # ~(4+2d) edge rows, ~2d anchor rows, ~8 dN state vectors, plus the
         # lane-invariant C/Ct/P blocks; stay within ~1/3 of the ~16 MB
         # scoped-vmem budget to leave room for Mosaic's own spills.
         per_lane = 4 * ((4 + 2 * d) * Ep + 2 * d * Ap + 8 * dN + 64)
-        fixed = 4 * (2 * Ep * N + 2 * Ap * N + 8 * (Ep + Ap))
+        fixed = 4 * (2 * Ep * N + 2 * nsp * N + 8 * (Ep + Ap))
         budget = 6 * 1024 * 1024
         tile = _LANE
         while tile > 8 and fixed + per_lane * tile > budget:
@@ -500,6 +527,7 @@ def solve_tr_pallas(
         rho_regularization=float(rho_regularization),
         Delta_bar=float(Delta_bar), Delta0=float(Delta0),
         mininner=int(mininner), has_anchors=bool(Ap),
+        a_nsel=int(ep.a_nsel), a_R=int(ep.a_R),
     )
     grid = (Bp // tile,)
     in_specs = [
@@ -521,14 +549,15 @@ def solve_tr_pallas(
         apar[:, 2] = ep.aL_mask
         apar[:, 3] = ep.aU_mask
         apar[:, 4:4 + d] = ep.acenters[:, :d]
+        P_sel = ep.aPsel if ep.a_nsel else ep.aP
         in_specs += [
-            pl.BlockSpec((Ap, N), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, Ap), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nsp, N), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, nsp), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Ap, 8), lambda b: (0, 0), memory_space=pltpu.VMEM),
         ]
         inputs += [
-            jnp.asarray(ep.aP, jnp.float32),
-            jnp.asarray(ep.aP.T, jnp.float32),
+            jnp.asarray(P_sel, jnp.float32),
+            jnp.asarray(P_sel.T, jnp.float32),
             jnp.asarray(apar, jnp.float32),
         ]
     in_specs += [
