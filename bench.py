@@ -187,7 +187,7 @@ def main():
     all_configs = [
         "planar6", "planar10", "ur10", "kuka_iiwa", "lwa4d",
         "ur10_table", "planar6_restarts2", "planar10_restarts2",
-        "ur10_restarts4", "ur10_cidgik",
+        "ur10_restarts4", "ur10_table_restarts2", "ur10_cidgik",
     ]
     sel = os.environ.get("BENCH_CONFIGS")
     configs = sel.split(",") if sel else all_configs

@@ -109,13 +109,18 @@ def solve_ik(
 
 def _solve_ik_impl(structure, T_goal, params, use_limits, Y_init, dtype, limit_tol,
                    polish, polish_params):
-    inst = structure.instance(T_goal, dtype=dtype, smooth=Y_init is None)
+    spec = structure.reduced_spec()
+    Nr = spec["Nr"] if (spec is not None and Y_init is None) else None
+    inst = structure.instance(
+        T_goal, dtype=dtype, smooth=Y_init is None, n_nodes=Nr
+    )
     omega_np, psi_L, psi_U = structure.masks()
     dim = structure.dim
 
     if Y_init is None:
+        om = omega_np if Nr is None else omega_np[:Nr, :Nr]
         Y0 = riemannian.generate_initialization(
-            inst["lb"], inst["ub"], jnp.asarray(omega_np), dim
+            inst["lb"], inst["ub"], jnp.asarray(om), dim
         )
     else:
         Y0 = jnp.asarray(Y_init)
@@ -180,6 +185,7 @@ def solve_reduced(
             params=params,
         )
     Nr = spec["Nr"]
+    # Inputs may already be reduced (instance(n_nodes=Nr)) or full-graph.
     sol = riemannian.solve(
         Y0[..., :Nr, :],
         D_goal[..., :Nr, :Nr],
@@ -269,13 +275,21 @@ def make_solver(
     """
     omega_np, psi_L, psi_U = structure.masks()
     dim = structure.dim
+    spec = structure.reduced_spec()
+    Nr = spec["Nr"] if spec is not None else None
+    omega_prep = omega_np if Nr is None else omega_np[:Nr, :Nr]
 
     @jax.jit
     def stage_prepare(T_goal):
         with jax.default_matmul_precision("highest"):
-            inst = structure.instance(T_goal, dtype=dtype, smooth=True)
+            # Reduced-node assembly: bound smoothing and the MDS init scale
+            # cubically with node count, so obstacle-constant nodes are
+            # excluded here (they re-enter as solver hinges + validation).
+            inst = structure.instance(
+                T_goal, dtype=dtype, smooth=True, n_nodes=Nr
+            )
             Y0 = riemannian.generate_initialization(
-                inst["lb"], inst["ub"], jnp.asarray(omega_np), dim
+                inst["lb"], inst["ub"], jnp.asarray(omega_prep), dim
             )
             return inst["D_goal"], Y0
 

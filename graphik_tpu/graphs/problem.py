@@ -332,30 +332,45 @@ class ProblemStructure:
                 pos = pos.at[..., self.idx_p(pred), :].set(t - z * d)
         return pos
 
-    @partial(jax.jit, static_argnums=0, static_argnames=("dtype", "smooth"))
-    def instance(self, T_goal, dtype=None, smooth=True):
+    @partial(jax.jit, static_argnums=0,
+             static_argnames=("dtype", "smooth", "n_nodes"))
+    def instance(self, T_goal, dtype=None, smooth=True, n_nodes=None):
         """Assemble per-goal solver inputs (batched, jittable).
 
         Returns dict with:
-          D_goal: (..., N, N) squared goal distance matrix
-          pos_anchor: (..., N, dim) anchor positions
-          lb, ub: (..., N, N) smoothed unsquared bounds (if smooth)
-        `omega`, `psi_L`, `psi_U` are static - see `masks()`.
+          D_goal: (..., M, M) squared goal distance matrix
+          pos_anchor: (..., M, dim) anchor positions
+          lb, ub: (..., M, M) smoothed unsquared bounds (if smooth)
+        where M = n_nodes or N. `omega`, `psi_L`, `psi_U` are static - see
+        `masks()`.
+
+        n_nodes: restrict assembly to the first n_nodes nodes - used with
+        the anchored-obstacle reduction (reduced_spec), where the heavy
+        prepare stages (min-plus bound smoothing on the 2M x 2M doubled
+        graph, batched MDS eigh) would otherwise scale cubically with the
+        obstacle count for nodes the solver never optimizes. Obstacle
+        lower-bound edges then no longer tighten the initialization bounds;
+        feasibility is still enforced by the solver's anchored hinges and
+        the full-graph validation.
         """
-        pos = self.goal_positions(T_goal, dtype=dtype)
+        M = self.N if n_nodes is None else int(n_nodes)
+        pos = self.goal_positions(T_goal, dtype=dtype)[..., :M, :]
         dt = pos.dtype
-        anchor = jnp.asarray(self.anchor_mask)
-        pair = anchor[:, None] & anchor[None, :] & ~jnp.eye(self.N, dtype=bool)
+        anchor = jnp.asarray(self.anchor_mask[:M])
+        pair = anchor[:, None] & anchor[None, :] & ~jnp.eye(M, dtype=bool)
 
         D_anchor = dgp.distance_matrix_from_pos(pos)
-        D_goal = jnp.where(pair, D_anchor, jnp.asarray(self.D_struct, dtype=dt))
+        D_goal = jnp.where(
+            pair, D_anchor, jnp.asarray(self.D_struct[:M, :M], dtype=dt))
 
         out = {"D_goal": D_goal, "pos_anchor": pos}
         if smooth:
             d_anchor = jnp.sqrt(jnp.maximum(D_anchor, 0.0))
-            L = jnp.where(pair, d_anchor, jnp.asarray(self.L_edges, dtype=dt))
-            U = jnp.where(pair, d_anchor, jnp.asarray(self.U_edges, dtype=dt))
-            mask = jnp.asarray(self.edge_mask) | pair
+            L = jnp.where(
+                pair, d_anchor, jnp.asarray(self.L_edges[:M, :M], dtype=dt))
+            U = jnp.where(
+                pair, d_anchor, jnp.asarray(self.U_edges[:M, :M], dtype=dt))
+            mask = jnp.asarray(self.edge_mask[:M, :M]) | pair
             lb, ub = dgp.bound_smoothing(L, U, mask)
             out["lb"], out["ub"] = lb, ub
         return out

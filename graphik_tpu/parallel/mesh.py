@@ -97,10 +97,12 @@ def solve_ik_restarts(
 def _solve_ik_restarts_impl(
     structure, T_goal, key, n_restarts, params, use_limits, dtype, polish
 ):
-    inst = structure.instance(T_goal, dtype=dtype, smooth=True)
+    spec = structure.reduced_spec()
+    Nr = spec["Nr"] if spec is not None else None
+    inst = structure.instance(T_goal, dtype=dtype, smooth=True, n_nodes=Nr)
     omega_np, psi_L, psi_U = structure.masks()
     dim = structure.dim
-    omega = jnp.asarray(omega_np)
+    omega = jnp.asarray(omega_np if Nr is None else omega_np[:Nr, :Nr])
 
     keys = jax.random.split(key, n_restarts)
 
@@ -192,12 +194,17 @@ def make_restart_solver(
     omega_np, psi_L, psi_U = structure.masks()
     dim = structure.dim
     R = n_restarts
+    spec = structure.reduced_spec()
+    Nr = spec["Nr"] if spec is not None else None
+    omega_prep = omega_np if Nr is None else omega_np[:Nr, :Nr]
 
     @jax.jit
     def stage_prepare(T_goal, key):
         with jax.default_matmul_precision("highest"):
-            inst = structure.instance(T_goal, dtype=dtype, smooth=True)
-            omega = jnp.asarray(omega_np)
+            inst = structure.instance(
+                T_goal, dtype=dtype, smooth=True, n_nodes=Nr
+            )
+            omega = jnp.asarray(omega_prep)
             keys = jax.random.split(key, R)
             Y0s = jnp.stack([
                 riemannian.generate_initialization(
