@@ -149,19 +149,25 @@ def main():
         T_goal = jnp.asarray(T_goal)
         sync(T_goal)
 
-        def pipeline(Tg):
-            # f32 ADMM lands in the right basin at ~cm accuracy; the GN
-            # polish provides the final precision the reference gets from
-            # MOSEK's 1e-6 interior point (sdp_formulations.py:9-43).
-            out = cd.solve_cidgik(comp, Tg, params=cparams)
-            e_pos0, e_rot0 = api.pose_error(ps, out["q"], Tg)
-            viol, ok = ps.check_distance_limits(ps.realization(out["q"]))
+        # f32 ADMM lands in the right basin at ~cm accuracy; the GN polish
+        # provides the final precision the reference gets from MOSEK's 1e-6
+        # interior point (sdp_formulations.py:9-43). Stage-jitted: the
+        # monolithic ADMM+polish program is over XLA's compile-time cliff.
+        @jax.jit
+        def stage_admm(Tg):
+            return cd.solve_cidgik(comp, Tg, params=cparams)["q"]
+
+        @jax.jit
+        def stage_finish(q0, Tg):
+            e_pos0, e_rot0 = api.pose_error(ps, q0, Tg)
+            viol, ok = ps.check_distance_limits(ps.realization(q0))
             q, e_pos, e_rot, viol, ok = api.polish_solution(
-                ps, out["q"], Tg, e_pos0, e_rot0, viol, ok
+                ps, q0, Tg, e_pos0, e_rot0, viol, ok
             )
             return e_pos0, e_rot0, e_pos, e_rot
 
-        solver = jax.jit(pipeline)
+        def solver(Tg):
+            return stage_finish(stage_admm(Tg), Tg)
         t0 = time.perf_counter()
         out = solver(T_goal)
         sync(out)

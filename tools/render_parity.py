@@ -69,6 +69,7 @@ def main():
             "kuka_iiwa": "kuka_iiwa",
             "lwa4d": "lwa4d",
             "ur10_table": "ur10_table",
+            "ur10_table_restarts2": "ur10_table",
         }
         for cfg, b in bench.items():
             if "success_rate" not in b:
@@ -88,6 +89,20 @@ def main():
                 f"{den if den is not None else '—'} | {ratio} | "
                 f"{b.get('effective_solves_per_sec', '—')} |"
             )
+
+    if bench and "ur10_cidgik" in bench and "error" not in bench["ur10_cidgik"]:
+        c = bench["ur10_cidgik"]
+        lines += [
+            "",
+            "## CIDGIK on TPU f32 (ADMM + GN polish, the production pipeline)",
+            "",
+            "| config | raw ADMM @1cm | polished @1cm | polished @1mm | solves/s |",
+            "|---|---|---|---|---|",
+            f"| ur10_cidgik | {c.get('raw_admm_rate_1cm', float('nan')):.3f} | "
+            f"{c.get('success_rate_1cm', float('nan')):.3f} | "
+            f"{c.get('success_rate_1mm', float('nan')):.3f} | "
+            f"{c.get('throughput_solves_per_sec', '—')} |",
+        ]
 
     if os.path.exists(args.sweep):
         with open(args.sweep) as f:
