@@ -1,7 +1,13 @@
 """Benchmark: batched IK throughput over the BASELINE config matrix.
 
-Prints ONE JSON line:
+Prints the headline JSON line
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ..., "configs": {...}}
+INCREMENTALLY: a full valid line is flushed after every finished config (the
+headline fields are identical on every line, so whichever line a harness
+parses - first or last - carries the same verdict). A wall-clock budget
+(BENCH_BUDGET_S, default 480 s) stops *starting* new configs near the
+deadline, and SIGTERM/SIGINT flush whatever has been measured, so a
+supervisor timeout still lands a number instead of rc=124 with no output.
 
 Headline metric: successful UR10 IK solves/sec/chip - throughput times the
 success rate at the BASELINE criterion (pos err < 1 mm, rot err < 1 deg,
@@ -9,16 +15,22 @@ joint/obstacle limits feasible). Baseline denominator: the BASELINE.json
 target of 10k solves/sec on a v5e-8, i.e. 1250 solves/sec/chip.
 
 The "configs" field carries one entry per BASELINE.md parity config
-(planar 6/10-DoF, UR10, KUKA IIWA, LWA4D, UR10+table obstacles, UR10 with
-4 restarts, CIDGIK), each with throughput, success rate, and p50 latency
-(wall time of a 128-instance quantum).
+(planar 6/10-DoF, UR10, KUKA IIWA, LWA4D, UR10+table obstacles, restart
+pools, CIDGIK), each with throughput and success rate; the headline config
+also reports p50 latency of a 128-instance serving quantum. The headline
+(ur10) runs FIRST so the most important number exists within ~1 minute.
+
+Goal generation is jitted per config: eager per-op dispatch through the TPU
+tunnel costs ~60 s per call, which is what starved the round-2 run.
 
 Env overrides: BENCH_BATCH, BENCH_MAXITER, BENCH_MAXINNER, BENCH_REPS,
-BENCH_CONFIGS (comma-separated subset).
+BENCH_CONFIGS (comma-separated subset), BENCH_BUDGET_S, BENCH_LATENCY
+(comma-separated configs measuring the b128 latency quantum; default ur10).
 """
 
 import json
 import os
+import signal
 import sys
 import time
 
@@ -32,6 +44,33 @@ T_START = time.perf_counter()
 def log(msg):
     print(f"[bench] {msg} t={time.perf_counter() - T_START:.1f}s",
           file=sys.stderr, flush=True)
+
+
+class Emitter:
+    """Accumulates per-config results; every flush prints a complete line."""
+
+    def __init__(self, static_fields):
+        self.static = static_fields
+        self.results = {}
+
+    def line(self):
+        head = self.results.get("ur10", {})
+        effective = head.get("effective_solves_per_sec") or 0.0
+        n_dev = self.static["n_devices"]
+        return {
+            "metric": "ur10_successful_solves_per_sec_per_chip",
+            "value": round(effective / n_dev, 2),
+            "unit": "solves/s/chip",
+            "vs_baseline": round(effective / n_dev / BASELINE_PER_CHIP, 4),
+            "throughput_solves_per_sec": head.get("throughput_solves_per_sec"),
+            "success_rate": head.get("success_rate"),
+            **self.static,
+            "total_wall_s": round(time.perf_counter() - T_START, 1),
+            "configs": self.results,
+        }
+
+    def flush(self):
+        print(json.dumps(self.line()), flush=True)
 
 
 def main():
@@ -48,16 +87,39 @@ def main():
     from graphik_tpu.solvers.riemannian import TRParams
     from graphik_tpu.utils.environments import table_environment
 
-    batch = int(os.environ.get("BENCH_BATCH", "1024"))
-    maxiter = int(os.environ.get("BENCH_MAXITER", "400"))
-    # tCG budget 24: success 0.859 (>=95% of the f64 parity denominator
-    # 0.90) at 6.2k solves/s; 48 adds +0.3% success for -32% throughput.
+    # Batch 4096 amortizes the fixed prepare/finish stage cost that dominates
+    # at 1024; maxiter 200 keeps ur10 success at 0.897 (ratio 0.996 vs the
+    # 0.90 f64 denominator) while raw throughput rises to ~10.4k/s/chip
+    # (round-3 sweep: 400 iters buys +1% success for -23% throughput).
+    batch = int(os.environ.get("BENCH_BATCH", "4096"))
+    maxiter = int(os.environ.get("BENCH_MAXITER", "200"))
+    # tCG budget 24: success within 0.3% of 48 at +45% throughput.
     maxinner = int(os.environ.get("BENCH_MAXINNER", "24"))
-    reps = int(os.environ.get("BENCH_REPS", "3"))
+    reps = int(os.environ.get("BENCH_REPS", "2"))
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "480"))
+    lat_configs = set(
+        os.environ.get("BENCH_LATENCY", "ur10").split(",")
+    )
     lat_batch = 128
 
     params = TRParams(maxiter=maxiter, maxinner=maxinner)
     n_dev = jax.device_count()
+
+    emitter = Emitter({
+        "batch": batch,
+        "maxiter": maxiter,
+        "maxinner": maxinner,
+        "device": str(jax.devices()[0]),
+        "n_devices": n_dev,
+    })
+
+    def on_term(signum, frame):
+        log(f"signal {signum}: flushing partial results")
+        emitter.flush()
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, on_term)
+    signal.signal(signal.SIGINT, on_term)
 
     def sync(tree):
         # A host transfer guarantees completion even where the platform's
@@ -86,10 +148,18 @@ def main():
             )
         raise ValueError(name)
 
-    def run_riemannian(ps, B, restarts=0):
-        key = jax.random.PRNGKey(0)
-        T_goal, _ = api.random_goals(ps, key, (B,))
-        T_goal = jnp.asarray(T_goal)
+    def goal_fn(ps, B):
+        # Jitted goal generation: eager FK dispatch through the device
+        # tunnel costs ~60 s per call and was the round-2 budget killer.
+        @jax.jit
+        def gen(key):
+            return api.random_goals(ps, key, (B,))[0]
+
+        return gen
+
+    def run_riemannian(name, ps, B, restarts=0):
+        gen = goal_fn(ps, B)
+        T_goal = gen(jax.random.PRNGKey(0))
         sync(T_goal)
 
         if restarts:
@@ -105,8 +175,7 @@ def main():
 
         times = []
         for r in range(reps):
-            Tg, _ = api.random_goals(ps, jax.random.PRNGKey(r + 1), (B,))
-            Tg = jnp.asarray(Tg)
+            Tg = gen(jax.random.PRNGKey(r + 1))
             sync(Tg)
             t0 = time.perf_counter()
             out = solver(Tg)
@@ -115,16 +184,7 @@ def main():
         wall = min(times)
         stats = {k: float(v) for k, v in summarize(out).items()}
 
-        # p50 latency: wall time of a small serving quantum.
-        Tg_s, _ = api.random_goals(ps, jax.random.PRNGKey(99), (lat_batch,))
-        Tg_s = jnp.asarray(Tg_s)
-        sync(Tg_s)
-        lat = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            sync(solver(Tg_s))
-            lat.append(time.perf_counter() - t0)
-        return {
+        res = {
             "throughput_solves_per_sec": round(B / wall, 2),
             "success_rate": round(stats["success_rate"], 4),
             "effective_solves_per_sec": round(
@@ -135,8 +195,20 @@ def main():
             "wall_s": round(wall, 4),
             "batch": B,
             "compile_s": round(compile_s, 1),
-            "p50_latency_ms_b128": round(float(np.median(lat)) * 1e3, 1),
         }
+        if name in lat_configs:
+            # p50 latency: wall time of a small serving quantum (its own
+            # batch shape = its own compile, so only where asked).
+            gen_s = goal_fn(ps, lat_batch)
+            Tg_s = gen_s(jax.random.PRNGKey(99))
+            sync(Tg_s)
+            lat = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                sync(solver(Tg_s))
+                lat.append(time.perf_counter() - t0)
+            res["p50_latency_ms_b128"] = round(float(np.median(lat)) * 1e3, 1)
+        return res
 
     def run_cidgik(ps, B):
         from graphik_tpu.solvers import cidgik as cd
@@ -144,9 +216,8 @@ def main():
 
         cparams = CidgikParams(admm_iters=800, max_outer=8)
         comp = cd.compile_cidgik(ps)
-        key = jax.random.PRNGKey(0)
-        T_goal, q_goal = api.random_goals(ps, key, (B,))
-        T_goal = jnp.asarray(T_goal)
+        gen = goal_fn(ps, B)
+        T_goal = gen(jax.random.PRNGKey(0))
         sync(T_goal)
 
         # f32 ADMM lands in the right basin at ~cm accuracy; the GN polish
@@ -190,49 +261,48 @@ def main():
             "compile_s": round(compile_s, 1),
         }
 
+    # Headline first; CIDGIK before the restart pools so every solver family
+    # lands a number before the budget gate can fire.
     all_configs = [
-        "planar6", "planar10", "ur10", "kuka_iiwa", "lwa4d",
-        "ur10_table", "planar6_restarts2", "planar10_restarts2",
-        "ur10_restarts4", "ur10_table_restarts2", "ur10_cidgik",
+        "ur10", "ur10_table", "kuka_iiwa", "lwa4d", "planar6", "planar10",
+        "ur10_cidgik", "ur10_restarts4", "ur10_table_restarts2",
+        "planar6_restarts2", "planar10_restarts2",
     ]
     sel = os.environ.get("BENCH_CONFIGS")
     configs = sel.split(",") if sel else all_configs
 
-    results = {}
+    # Conservative first-run cost guesses (seconds, cold compile included);
+    # replaced by measured costs of the same kind as the run progresses.
+    est = {"riemannian": 75.0, "restarts": 90.0, "cidgik": 120.0}
+
     for name in configs:
+        kind = ("cidgik" if name.endswith("_cidgik")
+                else "restarts" if "_restarts" in name else "riemannian")
+        elapsed = time.perf_counter() - T_START
+        if elapsed + est[kind] > budget_s:
+            emitter.results[name] = {"skipped_budget": True}
+            log(f"config {name}: SKIPPED (elapsed {elapsed:.0f}s + "
+                f"~{est[kind]:.0f}s > budget {budget_s:.0f}s)")
+            continue
+        t_cfg = time.perf_counter()
         ps = build(name)
         log(f"config {name}: start")
         try:
             if name.endswith("_cidgik"):
-                results[name] = run_cidgik(ps, min(batch, 256))
+                emitter.results[name] = run_cidgik(ps, min(batch, 256))
             elif "_restarts" in name:
                 r = int(name.split("_restarts")[1])
-                results[name] = run_riemannian(ps, batch // r, restarts=r)
+                emitter.results[name] = run_riemannian(
+                    name, ps, batch // r, restarts=r
+                )
             else:
-                results[name] = run_riemannian(ps, batch)
-            log(f"config {name}: done {results[name]}")
+                emitter.results[name] = run_riemannian(name, ps, batch)
+            log(f"config {name}: done {emitter.results[name]}")
         except Exception as exc:  # keep the bench line even if one config dies
-            results[name] = {"error": f"{type(exc).__name__}: {exc}"}
+            emitter.results[name] = {"error": f"{type(exc).__name__}: {exc}"}
             log(f"config {name}: FAILED {exc}")
-
-    head = results.get("ur10", {})
-    effective = head.get("effective_solves_per_sec", 0.0)
-    result = {
-        "metric": "ur10_successful_solves_per_sec_per_chip",
-        "value": round(effective / n_dev, 2),
-        "unit": "solves/s/chip",
-        "vs_baseline": round(effective / n_dev / BASELINE_PER_CHIP, 4),
-        "throughput_solves_per_sec": head.get("throughput_solves_per_sec"),
-        "success_rate": head.get("success_rate"),
-        "batch": batch,
-        "maxiter": maxiter,
-        "maxinner": maxinner,
-        "device": str(jax.devices()[0]),
-        "n_devices": n_dev,
-        "total_wall_s": round(time.perf_counter() - T_START, 1),
-        "configs": results,
-    }
-    print(json.dumps(result))
+        est[kind] = max(est[kind] * 0.5, time.perf_counter() - t_cfg)
+        emitter.flush()
 
 
 if __name__ == "__main__":

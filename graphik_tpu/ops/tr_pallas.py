@@ -62,6 +62,8 @@ def _tr_kernel(
     kappa: float, theta: float, rho_prime: float, rho_regularization: float,
     Delta_bar: float, Delta0: float, mininner: int, has_anchors: bool,
     a_nsel: int = 0, a_R: int = 0,
+    plateau_every: int = 0, plateau_rtol: float = 0.0,
+    plateau_atol: float = 0.0,
 ):
     f32 = jnp.float32
     C = c_ref[:]          # (Ep, N)
@@ -385,6 +387,7 @@ def _tr_kernel(
         done0,                             # done (f32 0/1)
         jnp.zeros((1, TB), f32),           # iters (per lane)
         jnp.zeros((1, TB), f32),           # num_inner (per lane)
+        fx0,                               # fx_ref (plateau checkpoint)
     )
 
     def ocond(st):
@@ -393,7 +396,7 @@ def _tr_kernel(
         return (k < maxiter) & (jnp.sum(1.0 - done_f) > 0.0)
 
     def obody(st):
-        k, Y, fx, grad, norm_grad, Delta, done_f, iters, ninner = st
+        k, Y, fx, grad, norm_grad, Delta, done_f, iters, ninner, fx_ref = st
         upd = done_f == 0.0
         hvp = make_hvp(Y)
         eta, Heta, _stop, nsteps = tcg(hvp, grad, Delta, done_f)
@@ -430,6 +433,19 @@ def _tr_kernel(
         done_new = jnp.maximum(
             done_f, (upd & (norm_g_new < mingradnorm)).astype(f32)
         )
+        fx_ref_new = fx_ref
+        if plateau_every:
+            # Cost-plateau stop (see TRParams.plateau_every): checked on the
+            # global iteration counter so every live lane compares its cost
+            # against the checkpoint from plateau_every iterations ago.
+            at_check = (k + 1) % plateau_every == 0
+            stalled = (fx_ref - fx_new) <= (
+                plateau_rtol * fx_new + plateau_atol
+            )
+            done_new = jnp.maximum(
+                done_new, (upd & stalled & at_check).astype(f32)
+            )
+            fx_ref_new = jnp.where(at_check, fx_new, fx_ref)
         return (
             k + 1,
             Y_new,
@@ -440,9 +456,10 @@ def _tr_kernel(
             done_new,
             iters + upd.astype(f32),
             ninner + jnp.where(upd, nsteps, 0.0),
+            fx_ref_new,
         )
 
-    (k, Y, fx, grad, norm_grad, Delta, done_f, iters, ninner) = (
+    (k, Y, fx, grad, norm_grad, Delta, done_f, iters, ninner, _fx_ref) = (
         jax.lax.while_loop(ocond, obody, carry0)
     )
 
@@ -469,6 +486,9 @@ def solve_tr_pallas(
     Delta_bar: float | None = None,
     Delta0: float | None = None,
     mininner: int = 1,
+    plateau_every: int = 0,
+    plateau_rtol: float = 0.0,
+    plateau_atol: float = 0.0,
     tile: int | None = None,
     interpret: bool = False,
 ):
@@ -528,6 +548,8 @@ def solve_tr_pallas(
         Delta_bar=float(Delta_bar), Delta0=float(Delta0),
         mininner=int(mininner), has_anchors=bool(Ap),
         a_nsel=int(ep.a_nsel), a_R=int(ep.a_R),
+        plateau_every=int(plateau_every), plateau_rtol=float(plateau_rtol),
+        plateau_atol=float(plateau_atol),
     )
     grid = (Bp // tile,)
     in_specs = [

@@ -424,13 +424,19 @@ def _solve_sdp_admm(A_eq, b_eq, A_in, lo, hi, C, Z0, s0, u0, params):
             # with 1/rho so the unscaled dual variable is continuous.
             up = pri > params.adapt_mu * dua
             down = dua > params.adapt_mu * pri
-            scale = jnp.where(
-                (k % params.adapt_every == params.adapt_every - 1),
-                jnp.where(up, params.adapt_tau,
-                          jnp.where(down, 1.0 / params.adapt_tau, 1.0)),
-                1.0,
-            ).astype(dt)
-            rho_new = jnp.clip(rho_c * scale, params.adapt_lo, params.adapt_hi)
+            fire = (k % params.adapt_every == params.adapt_every - 1) & (
+                up | down
+            )
+            scale = jnp.where(up, params.adapt_tau,
+                              1.0 / params.adapt_tau).astype(dt)
+            # Clip only when an adaptation actually fires: a user-supplied
+            # rho outside [adapt_lo, adapt_hi] must not be silently snapped
+            # into the band on iteration 1.
+            rho_new = jnp.where(
+                fire,
+                jnp.clip(rho_c * scale, params.adapt_lo, params.adapt_hi),
+                rho_c,
+            )
             adj = rho_c / rho_new
             Uz_new = Uz_new * adj
             ut_new = ut_new * adj

@@ -67,6 +67,16 @@ class TRParams:
     # arithmetic. In float32 the guard trips on rounding noise and stalls
     # convergence, so it is off by default.
     check_model_decrease: bool = False
+    # Per-lane cost-plateau stop: every `plateau_every` outer iterations a
+    # lane stops if its cost decreased by less than
+    # plateau_rtol * cost + plateau_atol over the window. The reference's
+    # absolute gradnorm test (trust_region.py:413-422) is unreachable in
+    # float32 (mingradnorm 2e-6 almost never fires), so without this every
+    # lane burns the full maxiter budget. 0 disables (reference-faithful
+    # float64 parity runs use that).
+    plateau_every: int = 16
+    plateau_rtol: float = 1e-4
+    plateau_atol: float = 0.0
     # Cost backend: "dense" = masked (N, N) linear algebra (solvers/costs.py);
     # "edge" = compiled incidence-matrix edge list (ops/edge.py) - same math,
     # E-compressed data movement (the reference's numba edge-kernel analogue);
@@ -300,6 +310,7 @@ class _TRState(NamedTuple):
     Delta: jnp.ndarray
     done: jnp.ndarray
     num_inner_total: jnp.ndarray
+    fx_ref: jnp.ndarray  # cost at the last plateau checkpoint
 
 
 def _solve_single(Y0, cost_fn, grad_fn, hess_fn, p: TRParams, maxinner: int):
@@ -324,6 +335,7 @@ def _solve_single(Y0, cost_fn, grad_fn, hess_fn, p: TRParams, maxinner: int):
         Delta=jnp.full((), Delta0, dt),
         done=jnp.zeros((), bool),
         num_inner_total=jnp.zeros((), jnp.int32),
+        fx_ref=fx0,
     )
 
     def cond(s: _TRState):
@@ -367,6 +379,14 @@ def _solve_single(Y0, cost_fn, grad_fn, hess_fn, p: TRParams, maxinner: int):
 
         k_new = s.k + 1
         done = (norm_grad_new < mingradnorm) | (k_new >= p.maxiter)
+        fx_ref_new = s.fx_ref
+        if p.plateau_every:
+            at_check = (k_new % p.plateau_every) == 0
+            stalled = (s.fx_ref - fx_new) <= (
+                p.plateau_rtol * fx_new + p.plateau_atol
+            )
+            done = done | (at_check & stalled)
+            fx_ref_new = jnp.where(at_check, fx_new, s.fx_ref)
 
         return _TRState(
             k=k_new,
@@ -377,6 +397,7 @@ def _solve_single(Y0, cost_fn, grad_fn, hess_fn, p: TRParams, maxinner: int):
             Delta=Delta_new,
             done=done,
             num_inner_total=s.num_inner_total + numit,
+            fx_ref=fx_ref_new,
         )
 
     out = jax.lax.while_loop(cond, body, init)
@@ -462,6 +483,9 @@ def solve(
             Delta_bar=params.Delta_bar,
             Delta0=params.Delta0,
             mininner=params.mininner,
+            plateau_every=params.plateau_every,
+            plateau_rtol=params.plateau_rtol,
+            plateau_atol=params.plateau_atol,
             interpret=jax.default_backend() != "tpu",
         )
         return {

@@ -18,6 +18,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import zipfile
 from typing import Any, Dict, Tuple
 
 import numpy as np
@@ -30,6 +31,13 @@ def _flatten(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
     out: Dict[str, np.ndarray] = {}
     if isinstance(tree, dict):
         for k in sorted(tree):
+            # "/" is the nesting separator and the meta key is reserved;
+            # allowing either in user keys would silently mis-nest on load.
+            if _SEP in str(k) or str(k) == _META_KEY:
+                raise ValueError(
+                    f"checkpoint state key {k!r} is reserved: keys may not "
+                    f"contain {_SEP!r} or equal {_META_KEY!r}"
+                )
             out.update(_flatten(tree[k], f"{prefix}{k}{_SEP}"))
     elif isinstance(tree, (list, tuple)):
         for i, v in enumerate(tree):
@@ -55,7 +63,15 @@ def save_checkpoint(path: str, state: Dict[str, Any], meta: Dict[str, Any]
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".npz.tmp")
     try:
         with os.fdopen(fd, "wb") as f:
-            np.savez(f, **arrays)
+            # Write the .npz container directly instead of np.savez(**arrays):
+            # savez takes entries as kwargs, so a state key named "file"
+            # (savez's positional parameter) would raise TypeError.
+            with zipfile.ZipFile(f, "w", zipfile.ZIP_STORED) as zf:
+                for key, arr in arrays.items():
+                    with zf.open(key + ".npy", "w") as af:
+                        np.lib.format.write_array(
+                            af, np.asarray(arr), allow_pickle=False
+                        )
         os.replace(tmp, path)
     except BaseException:
         if os.path.exists(tmp):

@@ -56,6 +56,23 @@ def test_checkpoint_roundtrip(tmp_path):
     )
 
 
+def test_checkpoint_reserved_savez_name(tmp_path):
+    # "file" is np.savez's positional parameter; the direct zip writer must
+    # accept it as a state key anyway.
+    path = os.path.join(tmp_path, "f.npz")
+    checkpoint.save_checkpoint(path, {"file": np.asarray(5)}, {})
+    st, _ = checkpoint.load_checkpoint(path)
+    assert int(st["file"]) == 5
+
+
+def test_checkpoint_rejects_separator_keys(tmp_path):
+    import pytest
+
+    path = os.path.join(tmp_path, "g.npz")
+    with pytest.raises(ValueError, match="reserved"):
+        checkpoint.save_checkpoint(path, {"a/b": np.asarray(1)}, {})
+
+
 def test_checkpoint_atomic_overwrite(tmp_path):
     path = os.path.join(tmp_path, "c.npz")
     checkpoint.save_checkpoint(path, {"v": np.asarray(1)}, {"gen": 1})

@@ -84,9 +84,10 @@ def main():
             )
         raise ValueError(name)
 
-    # Reference budgets (riemannian_solver.py:44-50)
+    # Reference budgets (riemannian_solver.py:44-50); plateau_every=0 keeps
+    # the stopping rule reference-faithful (gradnorm/maxiter only).
     params = TRParams(
-        maxiter=3000, mingradnorm=5e-10, backend="dense"
+        maxiter=3000, mingradnorm=5e-10, backend="dense", plateau_every=0
     )
 
     results = {}
