@@ -349,9 +349,10 @@ class ProblemStructure:
         prepare stages (min-plus bound smoothing on the 2M x 2M doubled
         graph, batched MDS eigh) would otherwise scale cubically with the
         obstacle count for nodes the solver never optimizes. Obstacle
-        lower-bound edges then no longer tighten the initialization bounds;
-        feasibility is still enforced by the solver's anchored hinges and
-        the full-graph validation.
+        bound edges are folded into the reduced smoothing in closed form
+        (dgp.bound_smoothing_anchored) - the reduced bounds equal the
+        full-graph bounds on the reduced block at O(M^2 n_obs) extra cost
+        instead of O((M + n_obs)^3).
         """
         M = self.N if n_nodes is None else int(n_nodes)
         pos = self.goal_positions(T_goal, dtype=dtype)[..., :M, :]
@@ -371,7 +372,36 @@ class ProblemStructure:
             U = jnp.where(
                 pair, d_anchor, jnp.asarray(self.U_edges[:M, :M], dtype=dt))
             mask = jnp.asarray(self.edge_mask[:M, :M]) | pair
-            lb, ub = dgp.bound_smoothing(L, U, mask)
+            if M < self.N:
+                # Anchored-obstacle fold: the excluded nodes sit at known
+                # positions, so their bound edges enter the reduced
+                # smoothing as closed-form side-node terms.
+                obs_pos = np.asarray(self.pos_fixed[M:], np.float64)
+                d_ro = jnp.sqrt(jnp.maximum(jnp.sum(
+                    (pos[..., :, None, :]
+                     - jnp.asarray(obs_pos, dtype=dt)[None, :, :]) ** 2,
+                    axis=-1,
+                ), 0.0))  # (..., M, no)
+                anch = jnp.asarray(self.anchor_mask[:M])[:, None]
+                ro_mask = jnp.asarray(self.edge_mask[:M, M:])
+                U_ro_edges = jnp.asarray(self.U_edges[:M, M:], dtype=dt)
+                L_ro_edges = jnp.asarray(self.L_edges[:M, M:], dtype=dt)
+                U_ro = jnp.minimum(
+                    jnp.where(anch, d_ro, dgp.BIG),
+                    jnp.where(ro_mask, U_ro_edges, dgp.BIG),
+                )
+                L_ro = jnp.maximum(
+                    jnp.where(anch, d_ro, 0.0),
+                    jnp.where(ro_mask, L_ro_edges, 0.0),
+                )
+                D_oo = np.sqrt(np.maximum(np.sum(
+                    (obs_pos[:, None, :] - obs_pos[None, :, :]) ** 2, axis=-1
+                ), 0.0))
+                lb, ub = dgp.bound_smoothing_anchored(
+                    L, U, mask, U_ro, L_ro, D_oo
+                )
+            else:
+                lb, ub = dgp.bound_smoothing(L, U, mask)
             out["lb"], out["ub"] = lb, ub
         return out
 

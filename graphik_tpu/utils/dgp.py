@@ -187,6 +187,69 @@ def bound_smoothing(L, U, edge_mask):
     return lb, ub
 
 
+def bound_smoothing_anchored(L, U, edge_mask, U_ro, L_ro, D_oo):
+    """Bound smoothing with fixed-position side nodes folded in closed form.
+
+    Equivalent to `bound_smoothing` on the (M + no)-node graph containing
+    the M reduced nodes plus `no` side nodes at known positions (obstacles),
+    restricted to the reduced block - without the (M+no)^3 log(M+no) cost.
+
+    Why this is exact (not an approximation):
+    * Upper bounds: a detour through a side node o costs at least
+      U(u, a) + d(a, o) + d(o, a') + U(a', v) for anchors a, a'; by the
+      triangle inequality d(a, o) + d(o, a') >= d(a, a'), so the detour
+      never beats the direct reduced-graph path. ub is therefore the
+      reduced closure unchanged.
+    * Lower bounds: every original->shadow path crosses the -L block exactly
+      once (see `bound_smoothing`). The crossing edge lies either inside the
+      reduced block (the reduced `cross` term), between a reduced node and a
+      side node (terms T1 and its transpose), or between two side nodes
+      (term T3). The A*-segments flanking the crossing never benefit from
+      side-node detours by the argument above, so three extra min-plus
+      products over the (M, no) blocks cover all paths.
+
+    Parameters
+    ----------
+    L, U, edge_mask : as `bound_smoothing`, over the M reduced nodes.
+    U_ro : (..., M, no) upper bounds reduced->side (exact distances on
+        anchor rows, obstacle-edge uppers elsewhere; BIG where no edge).
+    L_ro : (..., M, no) lower bounds reduced->side (exact distances on
+        anchor rows, obstacle radii on bound-edge rows; 0 where none).
+    D_oo : (no, no) exact side-side distances.
+
+    Returns (lb, ub) over the M reduced nodes.
+    """
+    L = jnp.asarray(L)
+    U = jnp.asarray(U)
+    n = L.shape[-1]
+    eye = jnp.eye(n, dtype=bool)
+
+    A = jnp.where(edge_mask, U, BIG)
+    A = jnp.where(eye, 0.0, A)
+    B = jnp.where(edge_mask, -L, BIG)
+    B = jnp.where(eye, 0.0, B)
+
+    import math
+
+    n_iter = max(1, math.ceil(math.log2(n)) + 1)
+    Astar = _minplus_closure(A, n_iter)
+    cross = _minplus(_minplus(Astar, B), Astar)
+
+    U_ro = jnp.asarray(U_ro, dtype=L.dtype)
+    Astar_ro = _minplus(Astar, U_ro)  # (..., M, no) reduced->side uppers
+    Aor = jnp.swapaxes(Astar_ro, -1, -2)
+    B_ro = jnp.where(L_ro > 0, -L_ro, BIG)
+    B_oo = -jnp.asarray(D_oo, dtype=L.dtype)
+    T1 = _minplus(_minplus(Astar, B_ro), Aor)
+    T3 = _minplus(_minplus(Astar_ro, B_oo), Aor)
+    cross = jnp.minimum(cross, jnp.minimum(T1, jnp.swapaxes(T1, -1, -2)))
+    cross = jnp.minimum(cross, T3)
+
+    ub = jnp.where(eye, 0.0, Astar)
+    lb = jnp.where(eye, 0.0, jnp.maximum(0.0, -cross))
+    return lb, ub
+
+
 # ---------------------------------------------------------------------------
 # Alignment / normalization
 # ---------------------------------------------------------------------------

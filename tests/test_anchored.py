@@ -42,6 +42,28 @@ def test_reduced_spec_shape(scene):
     assert (spec["L_mask"] == 1).all()
 
 
+def test_reduced_smoothing_matches_full_graph(scene):
+    """The anchored-obstacle fold (dgp.bound_smoothing_anchored) must give
+    the SAME bounds as smoothing the full (robot + obstacle) graph,
+    restricted to the reduced block - it is an exact reformulation, not an
+    approximation (upper-bound detours through fixed nodes never win; the
+    three extra min-plus terms cover every lower-bound crossing)."""
+    Nr = scene.reduced_spec()["Nr"]
+    T_goal, _ = api.random_goals(scene, jax.random.PRNGKey(3), (2,))
+    full = scene.instance(jnp.asarray(T_goal), dtype=jnp.float64, smooth=True)
+    red = scene.instance(
+        jnp.asarray(T_goal), dtype=jnp.float64, smooth=True, n_nodes=Nr
+    )
+    np.testing.assert_allclose(
+        np.asarray(red["lb"]), np.asarray(full["lb"])[:, :Nr, :Nr],
+        rtol=0, atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(red["ub"]), np.asarray(full["ub"])[:, :Nr, :Nr],
+        rtol=0, atol=1e-12,
+    )
+
+
 def test_reduced_cost_matches_manual(scene):
     """Dense reduced cost = dense robot-only cost + explicit hinge sums."""
     spec = scene.reduced_spec()
