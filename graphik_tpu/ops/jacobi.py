@@ -56,7 +56,8 @@ def jacobi_eigh(A, sweeps: int = 10):
     p_tab = jnp.asarray(sched[..., 0])
     q_tab = jnp.asarray(sched[..., 1])
     eye = jnp.eye(s, dtype=dt)
-    eps = jnp.asarray(np.finfo(np.dtype(dt)).tiny, dt)
+    eps_m = jnp.asarray(np.finfo(np.dtype(dt)).eps, dt)
+    tiny = jnp.asarray(np.finfo(np.dtype(dt)).tiny, dt)
 
     def round_step(carry, r):
         M, V = carry
@@ -65,10 +66,16 @@ def jacobi_eigh(A, sweeps: int = 10):
         app = M[..., p, p]
         aqq = M[..., q, q]
         apq = M[..., p, q]
-        # stable Givens angle: tan(2 theta) = 2 apq / (app - aqq)
-        tau = (aqq - app) / (2.0 * jnp.where(jnp.abs(apq) < eps, eps, apq))
+        # stable Givens angle: tan(2 theta) = 2 apq / (app - aqq).
+        # Skip the rotation when apq is negligible RELATIVE to the diagonal
+        # (already annihilated - includes exact-zero padded rows). The old
+        # absolute-tiny substitute let tau overflow to +-inf when
+        # |aqq - app| / tiny exceeded the float range, and sign(inf) then
+        # produced NaN that wiped the whole decomposition.
+        use = jnp.abs(apq) > eps_m * (jnp.abs(app) + jnp.abs(aqq)) + tiny
+        tau = (aqq - app) / jnp.where(use, 2.0 * apq, 1.0)
         t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
-        t = jnp.where(jnp.abs(apq) < eps, 0.0, t)
+        t = jnp.where(use, t, 0.0)
         c = 1.0 / jnp.sqrt(1.0 + t * t)
         sn = t * c
 

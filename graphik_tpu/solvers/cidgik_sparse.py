@@ -45,6 +45,19 @@ from graphik_tpu.ops.linalg import spd_inverse_factor
 from graphik_tpu.utils.chordal import chordal_cliques
 
 
+def _eigh_blocks(Z, sweeps: int):
+    """Eigendecomposition of stacked clique blocks (K, ds, ds).
+
+    Always the fixed-sweep Jacobi solver: XLA's BATCHED eigh returns NaN on
+    some stacks whose blocks contain exact-zero padded rows (observed on
+    CPU, jax 0.9.0 - the same matrices decompose fine one at a time), and
+    Jacobi's eps-guarded rotations are immune. sweeps=0 (the "exact"
+    float64 oracle setting) maps to 30 sweeps - far past quadratic
+    convergence for ds <= 32 (~1e-15 off-diagonal residual).
+    """
+    return jacobi_eigh(Z, sweeps=sweeps if sweeps else 30)
+
+
 @dataclasses.dataclass(eq=False)
 class CidgikSparseCompiled:
     """Static sparse CIDGIK template.
@@ -334,11 +347,19 @@ def _constraint_tensors(comp: CidgikSparseCompiled, anchors_pos, dtype):
     return A_eq, b_eq, A_in, lo, hi
 
 
-def _solve_sdp_admm_blocks(A_eq, b_eq, A_in, lo, hi, C, Z0, t0, U0, params):
+def _solve_sdp_admm_blocks(A_eq, b_eq, A_in, lo, hi, C, Z0, t0, U0, params,
+                           pad_mask=None):
     """Two-block ADMM over a PRODUCT of PSD cones (stacked clique blocks).
 
     Identical splitting to the dense solver (cidgik._solve_sdp_admm) with
     Z in (K, ds, ds) and the cone projection a batched eigh over cliques.
+
+    pad_mask: optional (K, ds, ds) 0/1 mask zeroing PADDED rows/cols in the
+    cone projection. Padded slots are touched by no constraint and carry no
+    cost, so they are free coordinates of the splitting; without the mask
+    the over-relaxed iteration parks them at relax-1 (a warm-started dual
+    against a vanished cost term), which shows up as a phantom excess-rank
+    eigenvalue of exactly relax-1 per padded slot.
     """
     m_eq = A_eq.shape[0]
     m_in = A_in.shape[0]
@@ -373,12 +394,13 @@ def _solve_sdp_admm_blocks(A_eq, b_eq, A_in, lo, hi, C, Z0, t0, U0, params):
         return Z_new, t_new
 
     def cone_project(W, t):
-        if params.eigh_sweeps:
-            lam, Q = jacobi_eigh(W, sweeps=params.eigh_sweeps)
-        else:
-            lam, Q = jnp.linalg.eigh(W)  # batched over cliques
+        if pad_mask is not None:
+            W = W * pad_mask
+        lam, Q = _eigh_blocks(W, params.eigh_sweeps)
         lam = jnp.maximum(lam, 0.0)
         Wp = jnp.einsum("kij,kj,klj->kil", Q, lam, Q)
+        if pad_mask is not None:
+            Wp = Wp * pad_mask
         tp = jnp.clip(t, lo, hi) if m_in else t
         return Wp, tp
 
@@ -429,10 +451,7 @@ def _fantope_blocks(Z, d, member, eigh_sweeps: int = 8):
     Excess-rank sum = sum_k (tr Z_k - sum of top-d eigenvalues), the
     per-block generalization of convex_iteration.py:43-53.
     """
-    if eigh_sweeps:
-        lam, Q = jacobi_eigh(Z, sweeps=eigh_sweeps)  # (K, ds), ascending
-    else:
-        lam, Q = jnp.linalg.eigh(Z)  # (K, ds), ascending
+    lam, Q = _eigh_blocks(Z, eigh_sweeps)  # (K, ds), ascending
     ds = Z.shape[-1]
     d_top = Q[:, :, ds - d:]  # (K, ds, d) top-d eigenvectors
     proj_top = jnp.einsum("kij,klj->kil", d_top, d_top)
@@ -467,6 +486,17 @@ def solve_cidgik_sparse(
 
     anchors_pos = pos_all[..., jnp.asarray(comp.anchor_idx), :]
 
+    # valid-subspace mask: d identity rows + the clique's member rows
+    valid_np = np.concatenate(
+        [np.ones((K, d), bool), comp.member >= 0], axis=1
+    )  # (K, ds)
+    pad_mask = (
+        valid_np[:, :, None] & valid_np[:, None, :]
+    ).astype(np.float64)
+    diag_valid = np.einsum(
+        "ki,ij->kij", valid_np.astype(np.float64), np.eye(ds)
+    )  # per-clique identity restricted to valid slots
+
     def single(anc_pos, pos_nodes):
         A_eq, b_eq, A_in, lo, hi = _constraint_tensors(comp, anc_pos, dt)
 
@@ -475,12 +505,16 @@ def solve_cidgik_sparse(
         t = jnp.clip(jnp.zeros(A_in.shape[0], dtype=dt), lo, hi)
         U = (jnp.zeros((K, ds, ds), dtype=dt),
              jnp.zeros(A_in.shape[0], dtype=dt))
-        C = jnp.broadcast_to(jnp.eye(ds, dtype=dt), (K, ds, ds))
+        # Initial rank-forcing cost: identity on the VALID slots only, so no
+        # dual charge builds up against padded coordinates (see
+        # _solve_sdp_admm_blocks pad_mask).
+        C = jnp.asarray(diag_valid, dtype=dt)
+        pm = jnp.asarray(pad_mask, dtype=dt)
 
         def outer(carry, _):
             Z, t, U, C, last_cost, done, feas_prev, eig_prev = carry
             Z_new, t_new, U_new, feas = _solve_sdp_admm_blocks(
-                A_eq, b_eq, A_in, lo, hi, C, Z, t, U, params
+                A_eq, b_eq, A_in, lo, hi, C, Z, t, U, params, pad_mask=pm
             )
             C_new, eig_sum = _fantope_blocks(
                 Z_new, d, comp.member, params.eigh_sweeps
