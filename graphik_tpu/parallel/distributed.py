@@ -1,0 +1,154 @@
+"""Multi-host distributed entry point (SURVEY.md section 2.6 / section 5).
+
+The reference is single-process (no NCCL/MPI/Gloo anywhere; SURVEY.md
+section 5 "Distributed communication backend"); the TPU-native scale axis is
+the instance batch sharded over every chip of every host. This module owns
+the process-level plumbing:
+
+  * `initialize()` - `jax.distributed.initialize` wrapper with environment
+    fallbacks (set by TPU pod runtimes or by the test harness).
+  * `global_batch_mesh()` - 1-D mesh over ALL global devices; the batch
+    axis rides ICI within a slice and DCN across hosts.
+  * `shard_local_batch()` - assemble a globally-sharded array from each
+    process's local shard (hosts generate/load their own goals; no
+    host-0 scatter bottleneck).
+  * `solve_ik_global()` - sharded solve + global metric reduction; the
+    embarrassingly parallel solve partitions with zero communication and
+    the summary means become cross-host psums.
+
+Single-process use degrades gracefully: every function works unchanged on
+one process (mesh = local devices), so the same driver script runs from a
+laptop CPU to a multi-host pod.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from graphik_tpu import api
+from graphik_tpu.graphs.problem import ProblemStructure
+from graphik_tpu.solvers.riemannian import TRParams
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    local_device_ids=None,
+) -> None:
+    """Join the multi-process JAX runtime.
+
+    Arguments default from the standard environment variables
+    (JAX_COORDINATOR_ADDRESS, JAX_NUM_PROCESSES, JAX_PROCESS_ID) so pod
+    launchers and the two-process CPU test configure workers by env alone.
+    On TPU pods with automatic configuration, call with no arguments.
+    No-op when the distributed client is already initialized.
+    """
+    if jax._src.distributed.global_state.client is not None:  # already up
+        return
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    )
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+        local_device_ids=local_device_ids,
+    )
+
+
+def global_batch_mesh(axis_name: str = "batch") -> Mesh:
+    """1-D mesh over ALL global devices (every chip of every host)."""
+    return Mesh(np.asarray(jax.devices()), (axis_name,))
+
+
+def shard_local_batch(x_local, mesh: Mesh, axis_name: str = "batch"):
+    """Assemble a globally-sharded array from per-process local shards.
+
+    Each process passes its own slice of the global batch (equal sizes);
+    the result is one global jax.Array whose leading axis is sharded over
+    the mesh. Data never funnels through a single host.
+    """
+    sharding = NamedSharding(mesh, P(axis_name))
+    return jax.tree.map(
+        lambda a: jax.make_array_from_process_local_data(
+            sharding, np.asarray(a)
+        ),
+        x_local,
+    )
+
+
+def solve_ik_global(
+    structure: ProblemStructure,
+    T_goal_local,
+    mesh: Optional[Mesh] = None,
+    params: TRParams = TRParams(),
+    axis_name: str = "batch",
+    criterion_pos: float = 1e-3,
+    criterion_rot: float = float(np.pi / 180),
+    **kwargs,
+):
+    """Solve the global goal batch; return (local result, global metrics).
+
+    T_goal_local: this process's shard of the goal batch, (B_local, ...).
+    The solve is data-parallel with zero communication; the metrics are
+    computed inside the same jit so XLA lowers the means to cross-host
+    collectives (psum over DCN) instead of host-side gathers.
+
+    Returns
+    -------
+    out_local : dict of this process's addressable shards of the solution.
+    metrics : dict of floats, identical on every process (global success
+        rate at the BASELINE criterion, pose-only rate, mean iterations,
+        global batch size).
+    """
+    if mesh is None:
+        mesh = global_batch_mesh(axis_name)
+    sharding = NamedSharding(mesh, P(axis_name))
+    T_goal = shard_local_batch(jnp.asarray(T_goal_local), mesh, axis_name)
+
+    @partial(jax.jit, in_shardings=sharding, out_shardings=(sharding, None))
+    def run(Tg):
+        out = api.solve_ik(structure, Tg, params=params, **kwargs)
+        hit = (
+            (out["e_pos"] < criterion_pos)
+            & (out["e_rot"] < criterion_rot)
+            & out["success"]
+        )
+        metrics = {
+            "success_rate": jnp.mean(hit.astype(jnp.float32)),
+            "pose_only_rate": jnp.mean(
+                ((out["e_pos"] < criterion_pos)
+                 & (out["e_rot"] < criterion_rot)).astype(jnp.float32)
+            ),
+            "mean_iterations": jnp.mean(
+                out["iterations"].astype(jnp.float32)
+            ),
+            "mean_pos_err": jnp.mean(out["e_pos"].astype(jnp.float32)),
+        }
+        return out, metrics
+
+    out, metrics = run(T_goal)
+    # metrics are fully replicated scalars - addressable everywhere
+    metrics = {k: float(v) for k, v in metrics.items()}
+    metrics["global_batch"] = int(T_goal.shape[0])
+    metrics["num_processes"] = jax.process_count()
+
+    def local_shard(a):
+        shards = [s.data for s in a.addressable_shards]
+        return np.concatenate([np.asarray(s) for s in shards], axis=0) \
+            if shards else np.asarray(a)
+
+    out_local = {k: local_shard(v) for k, v in out.items()}
+    return out_local, metrics

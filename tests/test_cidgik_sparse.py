@@ -92,6 +92,23 @@ class TestEndToEnd:
         hits = (np.asarray(e_pos) < 1e-2) & (np.asarray(e_rot) < 1e-2)
         assert hits.sum() >= 2, (e_pos, e_rot, out["eig_sum"], out["feas"])
 
+    def test_rank_forcing_converges(self, ur10, comp):
+        """Excess-rank eigenvalue sum reaches ~0 on goals whose SDP solve is
+        feasible - the convergence signal of the convex iteration
+        (reference convex_iteration.py:246-264). Guards the padded-slot /
+        Jacobi-overflow regressions that previously parked eig_sum at
+        relax-1 = 0.6 (see cidgik_sparse._solve_sdp_admm_blocks)."""
+        T_goal, _ = api.random_goals(ur10, jax.random.PRNGKey(0), (4,))
+        out = cs.solve_cidgik_sparse(
+            comp, jnp.asarray(T_goal),
+            params=CidgikParams(admm_iters=2000, max_outer=30, rel_tol=1e-5),
+        )
+        eig = np.asarray(out["eig_sum"])
+        feasible = np.asarray(out["status"]) == cs.FEASIBLE
+        assert np.all(np.isfinite(eig)), eig
+        assert feasible.sum() >= 3, (out["feas"], out["status"])
+        assert np.all(eig[feasible] < 1e-6), (eig, feasible)
+
     def test_matches_dense_points(self, ur10, comp):
         """Sparse and dense CIDGIK agree on the recovered positions."""
         from graphik_tpu.solvers import cidgik as cd

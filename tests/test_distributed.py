@@ -1,0 +1,96 @@
+"""Two-process multi-host test for parallel/distributed.py (SURVEY 2.6).
+
+Spawns two REAL processes that join one jax.distributed runtime over
+127.0.0.1, each with 2 virtual CPU devices, and solves a goal batch
+sharded over the resulting 4-device global mesh. Oracle: a single-process
+solve of the same goals must produce the same global metrics - the
+distributed path only re-partitions an embarrassingly parallel batch, so
+metrics must agree to float32 reduction tolerance.
+
+The workers run `tools/distributed_worker.py` (also the multi-host demo
+driver) so the tested entry point is the same one a pod launcher uses.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tools", "distributed_worker.py")
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_solve_matches_single(tmp_path):
+    port = _free_port()
+    n_proc = 2
+    goals = 8  # global batch; 4 per process, 2 per device
+    procs = []
+    outs = []
+    for pid in range(n_proc):
+        out_file = os.path.join(tmp_path, f"proc{pid}.json")
+        outs.append(out_file)
+        env = dict(os.environ)
+        env.update({
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+            "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+            "JAX_NUM_PROCESSES": str(n_proc),
+            "JAX_PROCESS_ID": str(pid),
+            "GRAPHIK_GOALS": str(goals),
+            "GRAPHIK_OUT": out_file,
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, WORKER], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        ))
+    failures = []
+    for pid, p in enumerate(procs):
+        try:
+            stdout, stderr = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            stdout, stderr = p.communicate()
+            failures.append((pid, "timeout", stderr.decode()[-2000:]))
+            continue
+        if p.returncode != 0:
+            failures.append((pid, p.returncode, stderr.decode()[-2000:]))
+    assert not failures, failures
+
+    results = [json.load(open(f)) for f in outs]
+    # both processes must report IDENTICAL (replicated) global metrics
+    for k in ("success_rate", "pose_only_rate", "mean_pos_err"):
+        assert results[0]["metrics"][k] == results[1]["metrics"][k], k
+    assert results[0]["metrics"]["num_processes"] == 2
+    assert results[0]["metrics"]["global_batch"] == goals
+    assert results[0]["world"] == 4  # 2 procs x 2 virtual devices
+
+    # oracle: single-process run over the same seeded goals
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+        "GRAPHIK_GOALS": str(goals),
+        "GRAPHIK_OUT": os.path.join(tmp_path, "single.json"),
+    })
+    p = subprocess.run([sys.executable, WORKER], env=env, timeout=540,
+                       capture_output=True)
+    assert p.returncode == 0, p.stderr.decode()[-2000:]
+    single = json.load(open(os.path.join(tmp_path, "single.json")))
+    for k in ("success_rate", "pose_only_rate"):
+        assert abs(results[0]["metrics"][k] - single["metrics"][k]) < 1e-6, k
+    assert abs(
+        results[0]["metrics"]["mean_pos_err"]
+        - single["metrics"]["mean_pos_err"]
+    ) < 1e-5
