@@ -162,11 +162,20 @@ def main():
         T_goal = gen(jax.random.PRNGKey(0))
         sync(T_goal)
 
+        cfg_params = params
+        if name == "ur10_table":
+            # Obstacle scenes need a deeper single-shot budget to hold the
+            # >=0.95 success ratio vs the f64 denominator (0.85): round-3
+            # sweep found (400, 32) at ratio 0.952 / 2.6k solves/s, where
+            # (200, 24) sits at 0.93.
+            cfg_params = TRParams(maxiter=2 * maxiter, maxinner=32)
         if restarts:
-            rsolver = make_restart_solver(ps, n_restarts=restarts, params=params)
+            rsolver = make_restart_solver(
+                ps, n_restarts=restarts, params=cfg_params
+            )
             solver = lambda Tg, k=jax.random.PRNGKey(7): rsolver(Tg, k)
         else:
-            solver = api.make_solver(ps, params=params)
+            solver = api.make_solver(ps, params=cfg_params)
 
         t0 = time.perf_counter()
         out = solver(T_goal)

@@ -175,10 +175,19 @@ def solve_reduced(
     full node count with the constant obstacle positions, so downstream
     consumers (joint recovery, validation, visualization) see the same
     layout as the full formulation.
+
+    Solver selection follows the reference's params["solver"] switch
+    (riemannian_solver.py:41-59): pass TRParams for the trust-region
+    solver, CGParams for the conjugate-gradient one.
     """
+    solve_fn = (
+        riemannian.solve_cg
+        if isinstance(params, riemannian.CGParams)
+        else riemannian.solve
+    )
     spec = structure.reduced_spec()
     if spec is None:
-        return riemannian.solve(
+        return solve_fn(
             Y0, D_goal, omega_np,
             psi_L if use_limits else None,
             psi_U if use_limits else None,
@@ -186,7 +195,7 @@ def solve_reduced(
         )
     Nr = spec["Nr"]
     # Inputs may already be reduced (instance(n_nodes=Nr)) or full-graph.
-    sol = riemannian.solve(
+    sol = solve_fn(
         Y0[..., :Nr, :],
         D_goal[..., :Nr, :Nr],
         omega_np[:Nr, :Nr],

@@ -238,3 +238,64 @@ class UrdfModel:
 
 def template_from_urdf(path: str, lb=None, ub=None, **kw) -> RobotTemplate:
     return UrdfModel.parse(path).template(lb=lb, ub=ub, **kw)
+
+
+def _R_to_rpy(R: np.ndarray) -> Tuple[float, float, float]:
+    """Inverse of _rpy_to_R (URDF fixed-axis convention R = Rz Ry Rx)."""
+    cp = np.hypot(R[0, 0], R[1, 0])
+    p = np.arctan2(-R[2, 0], cp)
+    if cp < 1e-9:
+        # gimbal lock (pitch = +-pi/2): only r -+ y is determined; pick y=0.
+        y = 0.0
+        if R[2, 0] < 0:  # p = +pi/2: R[0,1] = sin(r - y)
+            r = np.arctan2(R[0, 1], R[1, 1])
+        else:  # p = -pi/2: R[0,1] = -sin(r + y)
+            r = np.arctan2(-R[0, 1], R[1, 1])
+    else:
+        y = np.arctan2(R[1, 0], R[0, 0])
+        r = np.arctan2(R[2, 1], R[2, 2])
+    return float(r), float(p), float(y)
+
+
+def template_to_urdf(tpl: RobotTemplate, name: str = "robot") -> str:
+    """Serialize a revolute RobotTemplate to URDF XML.
+
+    Each node's zero-config frame becomes a link; joint origins are the
+    parent-relative transforms and every joint axis is the local z (the
+    template convention: frame z IS the rotation axis). Parsing the result
+    with UrdfModel reproduces the template exactly, which is how the
+    bundled .urdf assets are generated (tools/make_urdf_assets.py) and how
+    the XML path is regression-tested without copying any external URDF.
+    """
+    assert tpl.dim == 3, "URDF serialization is for revolute (3D) templates"
+    T0 = np.asarray(tpl.T0)
+    parents = np.asarray(tpl.parents)
+    out = [f'<robot name="{name}">']
+    out.append('  <link name="link0"/>')
+    out.append('  <joint name="joint0" type="revolute">')
+    out.append('    <parent link="world"/>')
+    out.append('    <child link="link0"/>')
+    out.append('    <axis xyz="0 0 1"/>')
+    out.append('  </joint>')
+    out.append('  <link name="world"/>')
+    for i in range(1, tpl.n_nodes):
+        p = int(parents[i])
+        rel = np.linalg.inv(T0[p]) @ T0[i]
+        r, pt, yw = _R_to_rpy(rel[:3, :3])
+        x, yy, z = rel[:3, 3]
+        out.append(f'  <link name="link{i}"/>')
+        out.append(f'  <joint name="joint{i}" type="revolute">')
+        out.append(f'    <parent link="link{p}"/>')
+        out.append(f'    <child link="link{i}"/>')
+        out.append(
+            f'    <origin xyz="{x:.17g} {yy:.17g} {z:.17g}" '
+            f'rpy="{r:.17g} {pt:.17g} {yw:.17g}"/>'
+        )
+        out.append('    <axis xyz="0 0 1"/>')
+        out.append(
+            f'    <limit lower="{float(tpl.lb[i]):.17g}" '
+            f'upper="{float(tpl.ub[i]):.17g}" effort="1" velocity="1"/>'
+        )
+        out.append('  </joint>')
+    out.append('</robot>')
+    return "\n".join(out)

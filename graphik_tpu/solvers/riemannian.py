@@ -86,6 +86,36 @@ class TRParams:
     backend: str = "pallas"
 
 
+@dataclasses.dataclass(frozen=True)
+class CGParams:
+    """Riemannian conjugate-gradient hyperparameters.
+
+    The reference's alternative solver (riemannian_solver.py:51-59):
+    pymanopt's ConjugateGradient with beta_type=BetaTypes[3] (Hager-Zhang),
+    an adaptive Armijo line search, Powell restart on loss of conjugacy
+    (orth_value), and gradnorm/stepsize stopping. Defaults mirror the
+    reference's construction (mingradnorm 1e-9, minstepsize 1e-10,
+    orth_value 1e10 - effectively never restarts).
+    """
+
+    maxiter: int = 1000
+    mingradnorm: Optional[float] = None  # default by dtype in solve_cg()
+    minstepsize: float = 1e-10
+    orth_value: float = 1e10
+    # line search (pymanopt LineSearchAdaptive defaults)
+    ls_contraction: float = 0.5
+    ls_optimism: float = 2.0
+    ls_suff_decr: float = 1e-4
+    ls_maxiter: int = 25
+    ls_initial: float = 1.0
+    # per-lane cost-plateau stop (see TRParams.plateau_every); CG lanes in
+    # float32 stall at the gradient noise floor the same way TR lanes do.
+    plateau_every: int = 16
+    plateau_rtol: float = 1e-4
+    plateau_atol: float = 0.0
+    backend: str = "dense"  # "dense" | "edge" cost evaluation
+
+
 def manifold_proj(Y, Z):
     """Horizontal-space projection on the PSDFixedRank quotient.
 
@@ -525,6 +555,212 @@ def solve(
             )
             return _solve_single(Y0_i, cost_fn, grad_fn, hess_fn, params,
                                  maxinner)
+
+    fn = one
+    for _ in range(len(batch)):
+        fn = jax.vmap(fn)
+    return fn(Y0, D_goal)
+
+
+class _CGState(NamedTuple):
+    k: jnp.ndarray
+    Y: jnp.ndarray
+    fx: jnp.ndarray
+    grad: jnp.ndarray
+    norm_grad: jnp.ndarray
+    d: jnp.ndarray          # search direction
+    oldalpha: jnp.ndarray   # adaptive line-search memory (<=0: unset)
+    stepsize: jnp.ndarray
+    done: jnp.ndarray
+    fx_ref: jnp.ndarray
+
+
+def _solve_cg_single(Y0, cost_fn, grad_fn, p: CGParams):
+    """One Riemannian CG solve (pymanopt ConjugateGradient semantics with
+    Hager-Zhang beta, the reference's beta_type=BetaTypes[3]); to be
+    vmapped. Transport on the PSDFixedRank quotient is horizontal
+    projection at the new point (the total space is Euclidean)."""
+    dt = Y0.dtype
+    mingradnorm = p.mingradnorm
+    if mingradnorm is None:
+        mingradnorm = 1e-9 if dt == jnp.float64 else 2e-6
+
+    fx0 = cost_fn(Y0)
+    g0 = grad_fn(Y0)
+    init = _CGState(
+        k=jnp.zeros((), jnp.int32),
+        Y=Y0,
+        fx=fx0,
+        grad=g0,
+        norm_grad=jnp.sqrt(_inner(g0, g0)),
+        d=-g0,
+        oldalpha=jnp.zeros((), dt),
+        stepsize=jnp.full((), jnp.inf, dt),
+        done=jnp.zeros((), bool),
+        fx_ref=fx0,
+    )
+
+    def linesearch(Y, fx, d, df0, oldalpha):
+        """Adaptive Armijo backtracking (pymanopt LineSearchAdaptive)."""
+        norm_d = jnp.sqrt(_inner(d, d))
+        alpha0 = jnp.where(
+            oldalpha > 0, oldalpha,
+            p.ls_initial / jnp.maximum(norm_d, jnp.finfo(dt).tiny),
+        )
+
+        def ls_cond(s):
+            alpha, newf, evals = s
+            return (newf > fx + p.ls_suff_decr * alpha * df0) & (
+                evals <= p.ls_maxiter
+            )
+
+        def ls_body(s):
+            alpha, _, evals = s
+            alpha = alpha * p.ls_contraction
+            return (alpha, cost_fn(Y + alpha * d), evals + 1)
+
+        alpha, newf, evals = jax.lax.while_loop(
+            ls_cond, ls_body, (alpha0, cost_fn(Y + alpha0 * d),
+                               jnp.ones((), jnp.int32))
+        )
+        # no decrease at all -> reject the step (alpha = 0)
+        alpha = jnp.where(newf > fx, jnp.zeros((), dt), alpha)
+        newf = jnp.where(alpha > 0, newf, fx)
+        # memory: one contraction keeps alpha, otherwise be optimistic
+        oldalpha_new = jnp.where(evals == 2, alpha, p.ls_optimism * alpha)
+        return alpha, newf, alpha * norm_d, oldalpha_new
+
+    def body(s: _CGState):
+        df0 = _inner(s.grad, s.d)
+        # not a descent direction -> steepest-descent restart
+        # (conjugate_gradient.py descent check)
+        bad = df0 >= 0
+        d = jnp.where(bad, -s.grad, s.d)
+        df0 = jnp.where(bad, -s.norm_grad**2, df0)
+
+        alpha, newf, stepsize, oldalpha = linesearch(
+            s.Y, s.fx, d, df0, s.oldalpha
+        )
+        Y_new = s.Y + alpha * d
+        g_new = grad_fn(Y_new)
+        norm_g_new = jnp.sqrt(_inner(g_new, g_new))
+
+        # Powell restart when successive gradients lose orthogonality
+        orth = jnp.abs(_inner(g_new, s.grad)) / jnp.maximum(
+            norm_g_new**2, jnp.finfo(dt).tiny
+        )
+        powell = orth >= p.orth_value
+
+        # transport = horizontal projection at the new point
+        d_t = manifold_proj(Y_new, d)
+        g_t = manifold_proj(Y_new, s.grad)
+        diff = g_new - g_t
+        deno = _inner(diff, d_t)
+        safe_deno = jnp.where(jnp.abs(deno) > 0, deno, 1.0)
+        numo = _inner(diff, g_new) - 2.0 * _inner(diff, diff) * _inner(
+            d_t, g_new
+        ) / safe_deno
+        beta = numo / safe_deno
+        # Hager-Zhang robustness floor
+        norm_dt = jnp.sqrt(_inner(d_t, d_t))
+        eta_hz = -1.0 / jnp.maximum(
+            norm_dt * jnp.minimum(jnp.asarray(0.01, dt), s.norm_grad),
+            jnp.finfo(dt).tiny,
+        )
+        beta = jnp.maximum(beta, eta_hz)
+        beta = jnp.where((jnp.abs(deno) > 0) & ~powell, beta, 0.0)
+        d_new = -g_new + beta * d_t
+
+        k_new = s.k + 1
+        done = (
+            (norm_g_new < mingradnorm)
+            | (stepsize < p.minstepsize)
+            | (k_new >= p.maxiter)
+        )
+        fx_ref_new = s.fx_ref
+        if p.plateau_every:
+            at_check = (k_new % p.plateau_every) == 0
+            stalled = (s.fx_ref - newf) <= (
+                p.plateau_rtol * newf + p.plateau_atol
+            )
+            done = done | (at_check & stalled)
+            fx_ref_new = jnp.where(at_check, newf, s.fx_ref)
+
+        return _CGState(
+            k=k_new,
+            Y=Y_new,
+            fx=newf,
+            grad=g_new,
+            norm_grad=norm_g_new,
+            d=d_new,
+            oldalpha=oldalpha,
+            stepsize=stepsize,
+            done=done,
+            fx_ref=fx_ref_new,
+        )
+
+    out = jax.lax.while_loop(lambda s: ~s.done, body, init)
+    return {
+        "Y": out.Y,
+        "cost": out.fx,
+        "gradnorm": out.norm_grad,
+        "iterations": out.k,
+        "num_inner": jnp.zeros((), jnp.int32),
+    }
+
+
+def solve_cg(
+    Y0,
+    D_goal,
+    omega,
+    psi_L=None,
+    psi_U=None,
+    params: CGParams = CGParams(),
+    anchors=None,
+):
+    """Batched Riemannian conjugate-gradient solve (the reference's
+    params["solver"] == "ConjugateGradient" option,
+    riemannian_solver.py:51-59). Same problem data contract as `solve`.
+    """
+    Y0 = jnp.asarray(Y0)
+    dt = Y0.dtype
+    N, d = Y0.shape[-2], Y0.shape[-1]
+    omega_host = np.asarray(omega, np.float64)
+    if psi_L is None:
+        psi_L_host = np.zeros((N, N))
+        psi_U_host = np.zeros((N, N))
+    else:
+        psi_L_host = np.asarray(psi_L, np.float64)
+        psi_U_host = np.asarray(psi_U, np.float64)
+    omega = jnp.asarray(omega_host, dtype=dt)
+    psi_L = jnp.asarray(psi_L_host, dtype=dt)
+    psi_U = jnp.asarray(psi_U_host, dtype=dt)
+    L_mask, U_mask = costs.make_masks(omega, psi_L, psi_U)
+
+    batch = Y0.shape[:-2]
+    D_goal = jnp.broadcast_to(jnp.asarray(D_goal, dtype=dt), batch + (N, N))
+
+    if params.backend == "edge":
+        from graphik_tpu.ops import edge as edge_ops
+
+        ep = edge_ops.build_edge_problem(
+            omega_host, psi_L_host, psi_U_host, dim=d, anchors=anchors
+        )
+
+        def one(Y0_i, D_goal_i):
+            dg_e = ep.edge_values(D_goal_i)
+            cost_fn = lambda Y: edge_ops.cost(ep, Y, dg_e)
+            grad_fn = lambda Y: edge_ops.egrad(ep, Y, dg_e)
+            return _solve_cg_single(Y0_i, cost_fn, grad_fn, params)
+    else:
+        def one(Y0_i, D_goal_i):
+            cost_fn = lambda Y: costs.cost(
+                Y, D_goal_i, omega, psi_L, psi_U, L_mask, U_mask, anchors
+            )
+            grad_fn = lambda Y: costs.egrad(
+                Y, D_goal_i, omega, psi_L, psi_U, L_mask, U_mask, anchors
+            )
+            return _solve_cg_single(Y0_i, cost_fn, grad_fn, params)
 
     fn = one
     for _ in range(len(batch)):

@@ -53,7 +53,12 @@ def bernoulli_confidence_normal_approximation(n, n_success, confidence=0.95):
 
 
 def wilson(n, n_success, alpha=0.95):
-    """(lower, upper) Wilson score interval (utils.py:122-134)."""
+    """(lower, upper) Wilson score interval (utils.py:122-134).
+
+    NOTE: `alpha` is the SIGNIFICANCE level (pass 0.05 for a 95% interval).
+    The default 0.95 mirrors the reference signature verbatim, whose
+    callers override it - with the default you get a ~5% interval.
+    """
     p = n_success / n
     z = _ndtri(1.0 - alpha / 2.0)
     denominator = 1 + z**2 / n

@@ -137,6 +137,36 @@ class TestEndToEnd:
         assert np.all(np.asarray(out["e_pos"]) < 1e-2), out["e_pos"]
         assert np.all(np.asarray(out["e_rot"]) < 1e-2), out["e_rot"]
 
+    def test_conjugate_gradient_backend(self, planar6):
+        """The CG solver option (reference riemannian_solver.py:51-59,
+        params["solver"]="ConjugateGradient") solves the same instances the
+        TR solver does, through the same api pipeline."""
+        from graphik_tpu.solvers.riemannian import CGParams
+
+        ps = planar6
+        T_goal, _ = api.random_goals(ps, jax.random.PRNGKey(6), (4,))
+        out_cg = api.solve_ik(ps, T_goal, params=CGParams(maxiter=1500))
+        assert np.all(np.asarray(out_cg["e_pos"]) < 1e-2), (
+            out_cg["e_pos"], out_cg["gradnorm"], out_cg["iterations"],
+        )
+        assert np.all(np.asarray(out_cg["e_rot"]) < 1e-2)
+
+    def test_cg_matches_tr_cost_no_limits(self, planar6):
+        """From the SAME deterministic init, CG and TR reach comparable
+        final costs on the unconstrained EDM completion."""
+        from graphik_tpu.solvers.riemannian import CGParams
+
+        ps = planar6
+        T_goal, _ = api.random_goals(ps, jax.random.PRNGKey(8), (3,))
+        Y_init = ps.realization(jnp.zeros(ps.n))
+        tr = api.solve_ik(ps, T_goal, params=TRParams(maxiter=1500),
+                          use_limits=False, Y_init=Y_init, polish=False)
+        cg = api.solve_ik(ps, T_goal, params=CGParams(maxiter=3000),
+                          use_limits=False, Y_init=Y_init, polish=False)
+        assert np.all(np.asarray(cg["cost"]) < 1e-8), cg["cost"]
+        assert np.all(np.asarray(cg["e_pos"]) < 1e-3), cg["e_pos"]
+        assert np.all(np.asarray(tr["cost"]) < 1e-8)
+
     def test_ur10_accuracy(self, ur10):
         key = jax.random.PRNGKey(7)
         T_goal, _ = api.random_goals(ur10, key, (4,))

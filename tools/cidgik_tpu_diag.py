@@ -10,6 +10,8 @@ across admm_iters / eigh_sweeps / refine settings.
 import json
 import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import numpy as np

@@ -6,7 +6,10 @@ batch) or bandwidth/compute-bound (flat)? Sweeps batch at fixed maxiter.
 Usage: python tools/profile_batch.py [maxiter] [backend]
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import numpy as np

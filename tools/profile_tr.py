@@ -9,7 +9,10 @@ Measures, for the UR10 Riemannian solve:
 Usage: python tools/profile_tr.py [batch]
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import numpy as np

@@ -28,6 +28,8 @@ import argparse
 import json
 import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 os.environ["JAX_PLATFORMS"] = "cpu"
@@ -40,9 +42,13 @@ CONFIGS = [
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--goals", type=int, default=100)
+    ap.add_argument("--goals", type=int, default=1000)
+    ap.add_argument("--chunk", type=int, default=100,
+                    help="goals per solve batch (one compile, reused; "
+                         "checkpoint after each chunk)")
     ap.add_argument("--configs", type=str, default=",".join(CONFIGS))
     ap.add_argument("--out", type=str, default="PARITY.json")
+    ap.add_argument("--ckpt", type=str, default="/tmp/parity_ckpt")
     args = ap.parse_args()
 
     import jax
@@ -90,6 +96,8 @@ def main():
         maxiter=3000, mingradnorm=5e-10, backend="dense", plateau_every=0
     )
 
+    from graphik_tpu.utils import checkpoint, stats
+
     results = {}
     for name in args.configs.split(","):
         ps = build(name)
@@ -97,21 +105,45 @@ def main():
         T_goal, q_goal = api.random_goals(
             ps, jax.random.PRNGKey(1234), (args.goals,)
         )
-        out = api.solve_ik(
-            ps, jnp.asarray(T_goal), params=params, polish=False,
-            dtype=jnp.float64,
-        )
-        e_pos = np.asarray(out["e_pos"])
-        e_rot = np.asarray(out["e_rot"])
-        feas = np.asarray(out["success"])
-        iters = np.asarray(out["iterations"])
+        ck_path = os.path.join(args.ckpt, f"{name}_{args.goals}.npz")
+        chunks, start = [], 0
+        if os.path.exists(ck_path):
+            st, meta = checkpoint.load_checkpoint(ck_path)
+            start = int(meta.get("next", 0))
+            chunks = [st[str(i)] for i in range(len(st))]
+        solve = jax.jit(lambda Tg: api.solve_ik(
+            ps, Tg, params=params, polish=False, dtype=jnp.float64,
+        ))
+        for lo in range(start, args.goals, args.chunk):
+            hi = min(lo + args.chunk, args.goals)
+            out = solve(jnp.asarray(T_goal)[lo:hi])
+            chunks.append(np.stack([
+                np.asarray(out["e_pos"], np.float64),
+                np.asarray(out["e_rot"], np.float64),
+                np.asarray(out["success"], np.float64),
+                np.asarray(out["iterations"], np.float64),
+            ]))
+            checkpoint.save_checkpoint(
+                ck_path, {str(i): c for i, c in enumerate(chunks)},
+                {"next": hi},
+            )
+            print(f"[parity] {name} {hi}/{args.goals} "
+                  f"t={time.perf_counter() - t0:.0f}s",
+                  file=sys.stderr, flush=True)
+        allc = np.concatenate(chunks, axis=1)
+        e_pos, e_rot, feas, iters = allc[0], allc[1], allc[2] > 0, allc[3]
+        n = e_pos.shape[0]
         crit_exp = (e_pos < 1e-2) & (e_rot < 1e-2) & feas
         crit_base = (e_pos < 1e-3) & (e_rot < np.pi / 180) & feas
         wall = time.perf_counter() - t0
+        # alpha is the significance level: 0.05 -> 95% interval
+        wil_lo, wil_hi = stats.wilson(n, int(crit_base.sum()), alpha=0.05)
         results[name] = {
-            "goals": args.goals,
+            "goals": n,
             "success_rate_experiment": round(float(crit_exp.mean()), 4),
             "success_rate_baseline": round(float(crit_base.mean()), 4),
+            "baseline_wilson_ci": [round(float(wil_lo), 4),
+                                   round(float(wil_hi), 4)],
             "median_pos_err": float(np.median(e_pos)),
             "median_rot_err": float(np.median(e_rot)),
             "mean_iterations": round(float(iters.mean()), 1),
