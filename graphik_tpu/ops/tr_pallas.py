@@ -91,6 +91,14 @@ def _tr_kernel(
         acen = [apar_ref[:, 4 + k:5 + k] for k in range(d)]  # (Ap, 1) each
 
         if a_nsel:
+            # Deliberately UNROLLED over the a_nsel groups: code size grows
+            # linearly with the number of distinct anchored robot nodes
+            # (bounded by the joint count, <= ~20), but each group lowers to
+            # a plain sublane broadcast / row-sum. The reshape-based
+            # alternative ((a_nsel, 1, TB) -> broadcast -> merge into the
+            # sublane dim) measured 8x SLOWER end-to-end on the table scene
+            # (12.4 s vs 1.55 s per 4096 batch) - Mosaic lowers the
+            # sublane-merging reshape into element shuffles.
             def a_expand(Yk):
                 """(N, TB) -> (Ap, TB): per-group broadcast of node rows."""
                 Ysel = _dot(AP, Yk)  # (pad8(a_nsel), TB)
