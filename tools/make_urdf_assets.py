@@ -16,6 +16,10 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ["JAX_PLATFORMS"] = "cpu"
 
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 from graphik_tpu.io import urdf as urdf_io
 from graphik_tpu.robots import library
 

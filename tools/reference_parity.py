@@ -53,6 +53,11 @@ def main():
 
     import jax
 
+    # The sandbox presets JAX_PLATFORMS (and a sitecustomize imports jax at
+    # interpreter startup), so the env assignment above may be too late -
+    # pin the platform post-import or the "f64 CPU" denominator silently
+    # runs on the TPU tunnel at f32 precision.
+    jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
     jax.config.update("jax_compilation_cache_dir", "/tmp/graphik_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

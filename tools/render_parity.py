@@ -40,13 +40,16 @@ def main():
         "",
         "## Reference-faithful denominator (f64 CPU, no polish)",
         "",
-        "| config | success (experiment) | success (baseline) | median pos err | mean iters |",
-        "|---|---|---|---|---|",
+        "| config | n | success (experiment) | success (baseline) | baseline 95% CI | median pos err | mean iters |",
+        "|---|---|---|---|---|---|---|",
     ]
     for name, r in parity["results"].items():
+        ci = r.get("baseline_wilson_ci")
+        ci_s = f"[{ci[0]:.3f}, {ci[1]:.3f}]" if ci else "—"
         lines.append(
-            f"| {name} | {r['success_rate_experiment']:.2f} | "
-            f"{r['success_rate_baseline']:.2f} | "
+            f"| {name} | {r.get('goals', '—')} | "
+            f"{r['success_rate_experiment']:.3f} | "
+            f"{r['success_rate_baseline']:.3f} | {ci_s} | "
             f"{r['median_pos_err']:.2e} | {r['mean_iterations']:.0f} |"
         )
 
@@ -56,9 +59,13 @@ def main():
             "## TPU f32 production pipeline vs denominator "
             "(baseline criterion)",
             "",
-            "| config | TPU success | denominator | ratio | solves/s/chip |",
+            "| config | TPU success (95% CI) | denominator | ratio | solves/s/chip |",
             "|---|---|---|---|---|",
         ]
+        import sys as _sys
+        _sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        from graphik_tpu.utils.stats import wilson
         den_map = {
             "planar6": "planar6_limits",
             "planar10": "planar10_limits",
@@ -84,8 +91,16 @@ def main():
             ratio = (
                 f"{b['success_rate'] / den:.3f}" if den else "—"
             )
+            n_b = int(b.get("batch", 0))
+            if n_b:
+                lo, hi = wilson(
+                    n_b, int(round(b["success_rate"] * n_b)), alpha=0.05
+                )
+                succ = f"{b['success_rate']:.3f} [{lo:.3f}, {hi:.3f}]"
+            else:
+                succ = f"{b['success_rate']:.3f}"
             lines.append(
-                f"| {cfg} | {b['success_rate']:.3f} | "
+                f"| {cfg} | {succ} | "
                 f"{den if den is not None else '—'} | {ratio} | "
                 f"{b.get('effective_solves_per_sec', '—')} |"
             )
