@@ -84,17 +84,23 @@ def main():
     from graphik_tpu import api
     from graphik_tpu.parallel.mesh import make_restart_solver, summarize
     from graphik_tpu.robots import library
+    from graphik_tpu.solvers.local import LocalParams
     from graphik_tpu.solvers.riemannian import TRParams
     from graphik_tpu.utils.environments import table_environment
 
     # Batch 4096 amortizes the fixed prepare/finish stage cost that dominates
-    # at 1024; maxiter 200 keeps ur10 success at 0.897 (ratio 0.996 vs the
-    # 0.90 f64 denominator) while raw throughput rises to ~10.4k/s/chip
-    # (round-3 sweep: 400 iters buys +1% success for -23% throughput).
+    # at 1024 (8192 is already past the knee). maxiter 150 holds ur10
+    # success at 0.882 - ratio 0.994 vs the n=1000 f64 denominator 0.887,
+    # worst-case 0.974 against the denominator's upper Wilson bound - at
+    # ~12.7k successful solves/s/chip (round-3 sweeps; 400 iters buys +2%
+    # success for ~2x the wall).
     batch = int(os.environ.get("BENCH_BATCH", "4096"))
-    maxiter = int(os.environ.get("BENCH_MAXITER", "200"))
+    maxiter = int(os.environ.get("BENCH_MAXITER", "150"))
     # tCG budget 24: success within 0.3% of 48 at +45% throughput.
     maxinner = int(os.environ.get("BENCH_MAXINNER", "24"))
+    # GN polish budget 10: quadratic convergence needs ~4 accepted steps
+    # from the f32 basin; 30 buys +0.5% success for +28% wall.
+    polish_iters = int(os.environ.get("BENCH_POLISH", "10"))
     reps = int(os.environ.get("BENCH_REPS", "2"))
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "480"))
     lat_configs = set(
@@ -103,6 +109,7 @@ def main():
     lat_batch = 128
 
     params = TRParams(maxiter=maxiter, maxinner=maxinner)
+    polish_params = LocalParams(maxiter=polish_iters, tol_grad=1e-8)
     n_dev = jax.device_count()
 
     emitter = Emitter({
@@ -165,17 +172,20 @@ def main():
         cfg_params = params
         if name == "ur10_table":
             # Obstacle scenes need a deeper single-shot budget to hold the
-            # >=0.95 success ratio vs the f64 denominator (0.85): round-3
-            # sweep found (400, 32) at ratio 0.952 / 2.6k solves/s, where
+            # >=0.95 success ratio vs the f64 denominator: round-3 sweep
+            # found (400, 32) at ratio 0.952 / 2.6k solves/s, where
             # (200, 24) sits at 0.93.
-            cfg_params = TRParams(maxiter=2 * maxiter, maxinner=32)
+            cfg_params = TRParams(maxiter=400, maxinner=32)
         if restarts:
             rsolver = make_restart_solver(
-                ps, n_restarts=restarts, params=cfg_params
+                ps, n_restarts=restarts, params=cfg_params,
+                polish_params=polish_params,
             )
             solver = lambda Tg, k=jax.random.PRNGKey(7): rsolver(Tg, k)
         else:
-            solver = api.make_solver(ps, params=cfg_params)
+            solver = api.make_solver(
+                ps, params=cfg_params, polish_params=polish_params
+            )
 
         t0 = time.perf_counter()
         out = solver(T_goal)

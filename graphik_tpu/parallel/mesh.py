@@ -184,6 +184,7 @@ def make_restart_solver(
     use_limits: bool = True,
     dtype=None,
     polish: bool = True,
+    polish_params=None,
 ):
     """Stage-jitted multi-restart solver (mirrors api.make_solver).
 
@@ -241,7 +242,8 @@ def make_restart_solver(
             e_pos, e_rot = api.pose_error(structure, q, T_goal_f)
             if polish:
                 q, e_pos, e_rot, viol, ok = api.polish_solution(
-                    structure, q, T_goal_f, e_pos, e_rot, viol, ok
+                    structure, q, T_goal_f, e_pos, e_rot, viol, ok,
+                    params=polish_params,
                 )
             all_out = {
                 "q": q,
