@@ -4,6 +4,11 @@ Note: the reference's version imports a nonexistent `load_9_dof` (stale);
 this example is the working equivalent.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 import jax.numpy as jnp

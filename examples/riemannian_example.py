@@ -4,6 +4,11 @@ Mirror of the reference's experiments/riemannian_example.py, batched: one
 call solves a whole batch of goals with obstacles, prints success metrics.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 import jax.numpy as jnp
