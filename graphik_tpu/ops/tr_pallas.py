@@ -527,10 +527,13 @@ def solve_tr_pallas(
         # ~(4+2d) edge rows, ~2d anchor rows, ~8 dN state vectors, plus the
         # lane-invariant C/Ct/P blocks; stay within ~1/3 of the ~16 MB
         # scoped-vmem budget to leave room for Mosaic's own spills.
+        # Wider tiles amortize per-grid-step loop overhead: 1024 lanes runs
+        # the ur10 solve ~19% faster than 128 (round-3 sweep), so start at
+        # the largest tile the batch needs (>= _LANE) and shrink to fit.
         per_lane = 4 * ((4 + 2 * d) * Ep + 2 * d * Ap + 8 * dN + 64)
         fixed = 4 * (2 * Ep * N + 2 * nsp * N + 8 * (Ep + Ap))
         budget = 6 * 1024 * 1024
-        tile = _LANE
+        tile = min(2048, max(_LANE, 1 << (max(B, 1) - 1).bit_length()))
         while tile > 8 and fixed + per_lane * tile > budget:
             tile //= 2
         tile = max(tile, 8)

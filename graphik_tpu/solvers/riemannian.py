@@ -77,6 +77,9 @@ class TRParams:
     plateau_every: int = 16
     plateau_rtol: float = 1e-4
     plateau_atol: float = 0.0
+    # Pallas kernel lane-tile override (instances per grid step); None =
+    # auto-size from the VMEM footprint (ops/tr_pallas.solve_tr_pallas).
+    tile: Optional[int] = None
     # Cost backend: "dense" = masked (N, N) linear algebra (solvers/costs.py);
     # "edge" = compiled incidence-matrix edge list (ops/edge.py) - same math,
     # E-compressed data movement (the reference's numba edge-kernel analogue);
@@ -516,6 +519,7 @@ def solve(
             plateau_every=params.plateau_every,
             plateau_rtol=params.plateau_rtol,
             plateau_atol=params.plateau_atol,
+            tile=params.tile,
             interpret=jax.default_backend() != "tpu",
         )
         return {
