@@ -115,30 +115,44 @@ def solve_ik_global(
     """
     if mesh is None:
         mesh = global_batch_mesh(axis_name)
-    sharding = NamedSharding(mesh, P(axis_name))
     T_goal = shard_local_batch(jnp.asarray(T_goal_local), mesh, axis_name)
 
-    @partial(jax.jit, in_shardings=sharding, out_shardings=(sharding, None))
-    def run(Tg):
+    def local(Tg):
+        # Runs per device shard (shard_map): the Pallas solver kernel has no
+        # SPMD partitioning rule, so shard_map - not sharding-annotated jit -
+        # is what guarantees each device solves only its own shard. Metric
+        # means become explicit psums over the batch axis (ICI within a
+        # slice, DCN across hosts).
         out = api.solve_ik(structure, Tg, params=params, **kwargs)
         hit = (
             (out["e_pos"] < criterion_pos)
             & (out["e_rot"] < criterion_rot)
             & out["success"]
         )
+        pose_ok = (out["e_pos"] < criterion_pos) & (
+            out["e_rot"] < criterion_rot
+        )
+        n = jax.lax.psum(
+            jnp.asarray(hit.size, jnp.float32), axis_name
+        )
         metrics = {
-            "success_rate": jnp.mean(hit.astype(jnp.float32)),
-            "pose_only_rate": jnp.mean(
-                ((out["e_pos"] < criterion_pos)
-                 & (out["e_rot"] < criterion_rot)).astype(jnp.float32)
-            ),
-            "mean_iterations": jnp.mean(
-                out["iterations"].astype(jnp.float32)
-            ),
-            "mean_pos_err": jnp.mean(out["e_pos"].astype(jnp.float32)),
+            "success_rate": jax.lax.psum(
+                jnp.sum(hit.astype(jnp.float32)), axis_name) / n,
+            "pose_only_rate": jax.lax.psum(
+                jnp.sum(pose_ok.astype(jnp.float32)), axis_name) / n,
+            "mean_iterations": jax.lax.psum(
+                jnp.sum(out["iterations"].astype(jnp.float32)), axis_name
+            ) / n,
+            "mean_pos_err": jax.lax.psum(
+                jnp.sum(out["e_pos"].astype(jnp.float32)), axis_name) / n,
         }
         return out, metrics
 
+    run = jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=P(axis_name),
+        out_specs=(P(axis_name), P()),
+        check_vma=False,  # see mesh.solve_ik_sharded
+    ))
     out, metrics = run(T_goal)
     # metrics are fully replicated scalars - addressable everywhere
     metrics = {k: float(v) for k, v in metrics.items()}

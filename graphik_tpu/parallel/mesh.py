@@ -52,18 +52,20 @@ def solve_ik_sharded(
 ):
     """Batched IK solve with the goal batch sharded over the mesh.
 
-    The solve is embarrassingly parallel; XLA partitions the vmapped
-    while-loops with zero communication, and metric reductions (means over
-    the batch) become cross-device collectives.
+    The solve is embarrassingly parallel. shard_map (not sharding-annotated
+    jit) pins one per-device kernel invocation per shard: under plain jit
+    the SPMD partitioner has no partitioning rule for the fused Pallas
+    solver call and may materialize the full batch on every device, which
+    silently destroys data-parallel scaling.
     """
     in_sharding = NamedSharding(mesh, P(axis_name))
-    out_sharding = NamedSharding(mesh, P(axis_name))
 
-    fn = jax.jit(
-        partial(api.solve_ik, structure, params=params, **kwargs),
-        in_shardings=in_sharding,
-        out_shardings=out_sharding,
-    )
+    local = partial(api.solve_ik, structure, params=params, **kwargs)
+    fn = jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=P(axis_name), out_specs=P(axis_name),
+        check_vma=False,  # while_loop carries + Pallas out_shapes predate
+        # the varying-manual-axes checker; classic shard_map semantics.
+    ))
     T_goal = jax.device_put(jnp.asarray(T_goal), in_sharding)
     return fn(T_goal)
 
