@@ -44,11 +44,15 @@ def main():
     from graphik_tpu.solvers import cidgik_sparse as cs
     from graphik_tpu.solvers.cidgik import CidgikParams
 
-    # Oracle-grade budget: 2000 ADMM iterations per outer solve and outer
-    # iterations until the eig-sum signal converges (the sparse rank-forcing
-    # test budget; the reference's MOSEK analogue is its 1e-6 interior
+    # Oracle-grade budget, sized so the 2-vCPU f64 sweep finishes in ~1 h:
+    # 20-sweep Jacobi eigendecompositions (converged to ~1e-15 for these
+    # block sizes; XLA's own batched eigh both NaNs on zero-padded stacks
+    # and takes pathologically long to compile inside while x scan x vmap),
+    # 1600 ADMM iterations per outer solve, outer loop to eig-sum
+    # convergence (the reference's MOSEK analogue is its 1e-6 interior
     # point, sdp_formulations.py:9-43).
-    params = CidgikParams(admm_iters=2000, max_outer=30, rel_tol=1e-5)
+    params = CidgikParams(admm_iters=1600, max_outer=16, rel_tol=1e-5,
+                          eigh_sweeps=20)
     results = {}
     for name in args.robots.split(","):
         ps = getattr(library, f"load_{name}" if name != "lwa4d"
