@@ -151,6 +151,29 @@ class TestEndToEnd:
         )
         assert np.all(np.asarray(out_cg["e_rot"]) < 1e-2)
 
+    def test_cg_edge_backend_matches_dense(self, planar6):
+        """CG over the compiled edge-list cost equals the dense masked cost
+        path (same algorithm, different data movement)."""
+        from graphik_tpu.solvers.riemannian import CGParams
+
+        ps = planar6
+        T_goal, _ = api.random_goals(ps, jax.random.PRNGKey(9), (2,))
+        Y_init = ps.realization(jnp.zeros(ps.n))
+        outs = {}
+        for backend in ("dense", "edge"):
+            outs[backend] = api.solve_ik(
+                ps, T_goal, params=CGParams(maxiter=400, backend=backend),
+                use_limits=True, Y_init=Y_init, polish=False,
+            )
+        np.testing.assert_allclose(
+            np.asarray(outs["edge"]["cost"]),
+            np.asarray(outs["dense"]["cost"]), rtol=1e-6, atol=1e-10,
+        )
+        np.testing.assert_allclose(
+            np.asarray(outs["edge"]["e_pos"]),
+            np.asarray(outs["dense"]["e_pos"]), atol=1e-6,
+        )
+
     def test_cg_matches_tr_cost_no_limits(self, planar6):
         """From the SAME deterministic init, CG and TR reach comparable
         final costs on the unconstrained EDM completion."""
