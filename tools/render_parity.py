@@ -124,15 +124,16 @@ def main():
             sweep = json.load(f)
         lines += [
             "",
-            "## CIDGIK success rates (f64 CPU, 256 goals, "
+            "## CIDGIK success rates (f64 CPU oracle budget, "
             "dense vs sparse chordal)",
             "",
-            "| config | success @1cm | success @1mm | feasible | median eig-sum |",
-            "|---|---|---|---|---|",
+            "| config | n | success @1cm | success @1mm | feasible | median eig-sum |",
+            "|---|---|---|---|---|---|",
         ]
         for name, r in sweep.items():
             lines.append(
-                f"| {name} | {r['success_rate_1cm']:.3f} | "
+                f"| {name} | {r.get('goals', '—')} | "
+                f"{r['success_rate_1cm']:.3f} | "
                 f"{r['success_rate_1mm']:.3f} | {r['feasible_rate']:.3f} | "
                 f"{r['median_eig_sum']:.2e} |"
             )
