@@ -4,6 +4,9 @@ The GN polish recovers mm accuracy from basin-level ADMM output, so the
 question is how small the ADMM budget can get before the basin quality
 (and thus the polished success rate) degrades.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 
 import json
 import time

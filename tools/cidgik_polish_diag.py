@@ -1,4 +1,7 @@
 """Why does GN polish stall on CIDGIK output? Budget vs basin."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 
 import json
 import time
