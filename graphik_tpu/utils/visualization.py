@@ -189,3 +189,115 @@ def plot_solve_metrics(out, ax=None):
         ax[1].hist(np.ravel(np.asarray(out["iterations"])), bins=40, color="tab:orange")
         ax[1].set_xlabel("iterations")
     return ax
+
+
+# ---------------------------------------------------------------------------
+# Mesh export (the reference's pyrender/trimesh scene, urdf_visualization.py
+# :9-60 and 158-177, as a dependency-free triangle-mesh writer: any mesh
+# viewer replaces the pyrender window)
+# ---------------------------------------------------------------------------
+
+def _cylinder_mesh(p0, p1, radius, n_theta=16):
+    """(vertices, faces) of a closed cylinder from p0 to p1."""
+    p0 = np.asarray(p0, float)
+    p1 = np.asarray(p1, float)
+    axis = p1 - p0
+    h = np.linalg.norm(axis)
+    if h < 1e-12:
+        return np.zeros((0, 3)), np.zeros((0, 3), np.int64)
+    w = axis / h
+    u = np.cross(w, [0.0, 0.0, 1.0])
+    if np.linalg.norm(u) < 1e-8:
+        u = np.cross(w, [0.0, 1.0, 0.0])
+    u /= np.linalg.norm(u)
+    v = np.cross(w, u)
+    th = np.linspace(0.0, 2 * np.pi, n_theta, endpoint=False)
+    ring = radius * (np.outer(np.cos(th), u) + np.outer(np.sin(th), v))
+    verts = np.concatenate([
+        p0 + ring, p1 + ring, p0[None], p1[None]
+    ])  # bottom ring, top ring, bottom center, top center
+    faces = []
+    cb, ct = 2 * n_theta, 2 * n_theta + 1
+    for k in range(n_theta):
+        k2 = (k + 1) % n_theta
+        faces.append([k, k2, n_theta + k])           # side lower tri
+        faces.append([k2, n_theta + k2, n_theta + k])  # side upper tri
+        faces.append([k2, k, cb])                    # bottom cap
+        faces.append([n_theta + k, n_theta + k2, ct])  # top cap
+    return verts, np.asarray(faces, np.int64)
+
+
+def _sphere_mesh(center, radius, n_theta=16, n_phi=12):
+    """(vertices, faces) of a UV sphere."""
+    center = np.asarray(center, float)
+    th = np.linspace(0.0, 2 * np.pi, n_theta, endpoint=False)
+    ph = np.linspace(0.0, np.pi, n_phi)
+    verts = []
+    for p in ph:
+        for t in th:
+            verts.append(center + radius * np.array([
+                np.cos(t) * np.sin(p), np.sin(t) * np.sin(p), np.cos(p)
+            ]))
+    verts = np.asarray(verts)
+    faces = []
+    for i in range(n_phi - 1):
+        for j in range(n_theta):
+            j2 = (j + 1) % n_theta
+            a = i * n_theta + j
+            b = i * n_theta + j2
+            c = (i + 1) * n_theta + j
+            d = (i + 1) * n_theta + j2
+            faces.append([a, b, c])
+            faces.append([b, d, c])
+    return verts, np.asarray(faces, np.int64)
+
+
+def export_scene_obj(ps, q, path, link_radius=0.025, T_goal=None,
+                     axis_scale=0.12):
+    """Write the solved scene as a Wavefront OBJ triangle mesh.
+
+    The reference renders URDF meshes in a pyrender window
+    (urdf_visualization.py:158-177); the meshes are stripped from its
+    checkout, so the faithful equivalent here is generated link geometry:
+    link cylinders at configuration q, obstacle spheres, and (optionally)
+    goal-frame axis rods, grouped per object so viewers can color them.
+    Returns (n_vertices, n_faces).
+    """
+    tpl = ps.template
+    from graphik_tpu.robots import kinematics as _kin
+
+    T_all = np.asarray(_kin.all_poses(tpl, np.asarray(q, dtype=float)))
+    groups = []
+    for i in range(1, tpl.n + 1):
+        par = int(tpl.parents[i])
+        groups.append((f"link_{par}_{i}", *_cylinder_mesh(
+            T_all[par, :3, 3], T_all[i, :3, 3], link_radius
+        )))
+    for k, (center, radius) in enumerate(ps.obstacles):
+        groups.append((f"obstacle_{k}", *_sphere_mesh(center, radius)))
+    if T_goal is not None:
+        Tg = np.asarray(T_goal)
+        if Tg.ndim == 2:
+            Tg = Tg[None]
+        for g, T in enumerate(Tg):
+            for a in range(3):
+                tip = T[:3, 3] + axis_scale * T[:3, a]
+                groups.append((f"goal_{g}_axis_{a}", *_cylinder_mesh(
+                    T[:3, 3], tip, link_radius * 0.35, n_theta=8
+                )))
+    n_total = 0
+    n_faces = 0
+    with open(path, "w") as f:
+        f.write("# graphik_tpu scene export\n")
+        for name, verts, faces in groups:
+            if not len(verts):
+                continue
+            f.write(f"o {name}\n")
+            for v in verts:
+                f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+            for face in faces:
+                a, b, c = (int(x) + 1 + n_total for x in face)
+                f.write(f"f {a} {b} {c}\n")
+            n_total += len(verts)
+            n_faces += len(faces)
+    return n_total, n_faces

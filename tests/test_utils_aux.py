@@ -106,3 +106,42 @@ class TestVisualization:
         out = tmp_path / "scene.png"
         ax.figure.savefig(out)
         assert out.stat().st_size > 10_000
+
+    def test_export_scene_obj(self, tmp_path):
+        """Triangle-mesh scene export (the pyrender/trimesh analogue,
+        urdf_visualization.py:9-60): valid OBJ with link cylinders,
+        obstacle spheres, and goal-axis rods."""
+        import numpy as np
+
+        from graphik_tpu.graphs.problem import ProblemStructure
+        from graphik_tpu.robots.library import load_ur10
+        from graphik_tpu.utils import visualization as viz
+
+        tpl, _ = load_ur10()
+        ps = ProblemStructure.from_template(
+            tpl, obstacles=[(np.array([0.5, 0.5, 0.5]), 0.2)]
+        )
+        out = tmp_path / "scene.obj"
+        n_v, n_f = viz.export_scene_obj(
+            ps, np.zeros(6), str(out), T_goal=np.eye(4)
+        )
+        assert n_v > 100 and n_f > 100
+        verts, faces, objects = [], [], 0
+        for line in open(out):
+            if line.startswith("v "):
+                verts.append([float(x) for x in line.split()[1:]])
+            elif line.startswith("f "):
+                faces.append([int(x) for x in line.split()[1:]])
+            elif line.startswith("o "):
+                objects += 1
+        assert len(verts) == n_v and len(faces) == n_f
+        # every face references a valid 1-based vertex
+        fa = np.asarray(faces)
+        assert fa.min() >= 1 and fa.max() <= n_v
+        # 6 links + 1 obstacle + 3 goal axes
+        assert objects == 6 + 1 + 3
+        # obstacle sphere vertices sit on the sphere
+        va = np.asarray(verts)
+        d = np.linalg.norm(va - np.array([0.5, 0.5, 0.5]), axis=1)
+        on_sphere = np.isclose(d, 0.2, atol=1e-6).sum()
+        assert on_sphere >= 100  # the sphere's vertex budget
