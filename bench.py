@@ -53,24 +53,44 @@ class Emitter:
         self.static = static_fields
         self.results = {}
 
-    def line(self):
+    def line(self, compact=False):
         head = self.results.get("ur10", {})
         effective = head.get("effective_solves_per_sec") or 0.0
         n_dev = self.static["n_devices"]
-        return {
+        out = {
             "metric": "ur10_successful_solves_per_sec_per_chip",
             "value": round(effective / n_dev, 2),
             "unit": "solves/s/chip",
             "vs_baseline": round(effective / n_dev / BASELINE_PER_CHIP, 4),
             "throughput_solves_per_sec": head.get("throughput_solves_per_sec"),
             "success_rate": head.get("success_rate"),
-            **self.static,
-            "total_wall_s": round(time.perf_counter() - T_START, 1),
-            "configs": self.results,
         }
+        if compact:
+            return out
+        out.update(self.static)
+        out["total_wall_s"] = round(time.perf_counter() - T_START, 1)
+        out["configs"] = self.results
+        return out
 
     def flush(self):
         print(json.dumps(self.line()), flush=True)
+
+    def flush_compact(self):
+        # The very last stdout line is a SHORT headline-only record: the
+        # round-3 driver's tail window truncated the ~2.5 KB full-matrix
+        # line mid-JSON (parsed: null), so the final line must stay small.
+        print(json.dumps(self.line(compact=True)), flush=True)
+
+    def emergency_flush(self, fd=1):
+        # Signal-safe: a single os.write of both lines (the full matrix,
+        # then the compact headline LAST) to the stdout fd - print() from a
+        # handler can interleave mid-line with a flush already in progress
+        # on the main thread.
+        payload = (
+            "\n" + json.dumps(self.line()) + "\n"
+            + json.dumps(self.line(compact=True)) + "\n"
+        )
+        os.write(fd, payload.encode())
 
 
 def main():
@@ -122,8 +142,8 @@ def main():
 
     def on_term(signum, frame):
         log(f"signal {signum}: flushing partial results")
-        emitter.flush()
-        os._exit(0)
+        emitter.emergency_flush()
+        os._exit(128 + signum)  # honest abnormal-termination code
 
     signal.signal(signal.SIGTERM, on_term)
     signal.signal(signal.SIGINT, on_term)
@@ -323,6 +343,9 @@ def main():
             log(f"config {name}: FAILED {exc}")
         est[kind] = max(est[kind] * 0.5, time.perf_counter() - t_cfg)
         emitter.flush()
+
+    # Final line: compact headline only, so any driver tail window parses it.
+    emitter.flush_compact()
 
 
 if __name__ == "__main__":

@@ -240,6 +240,27 @@ def egrad(ep: EdgeProblem, Y, dgoal_e):
     return cost_and_egrad(ep, Y, dgoal_e)[1]
 
 
+def residual_max(ep: EdgeProblem, Y, dgoal_e):
+    """Max relative edge residual (see solvers/costs.residual_max)."""
+    _, _, s0, e1, e2 = _edge_terms(ep, Y, dgoal_e)
+    om = jnp.asarray(ep.omega, Y.dtype)
+    eq_cnt = max(float(np.sum(ep.omega)), 1.0)
+    floor = jnp.sum(om * dgoal_e, axis=-1) / eq_cnt  # (...,)
+    fl = floor[..., None]
+    r = jnp.abs(s0) / jnp.maximum(dgoal_e, fl)
+    r = jnp.maximum(r, e1 / jnp.maximum(jnp.asarray(ep.psi_L, Y.dtype), fl))
+    r = jnp.maximum(r, e2 / jnp.maximum(jnp.asarray(ep.psi_U, Y.dtype), fl))
+    rmax = jnp.max(r, axis=-1)
+    if ep.A:
+        _, a1, a2 = _anchor_terms(ep, Y)
+        ra = jnp.maximum(
+            a1 / jnp.maximum(jnp.asarray(ep.apsi_L, Y.dtype), fl),
+            a2 / jnp.maximum(jnp.asarray(ep.apsi_U, Y.dtype), fl),
+        )
+        rmax = jnp.maximum(rmax, jnp.max(ra, axis=-1))
+    return rmax
+
+
 def ehess(ep: EdgeProblem, Y, Z, dgoal_e):
     diff, _, s0, e1, e2 = _edge_terms(ep, Y, dgoal_e)
     C = jnp.asarray(ep.C, Y.dtype)

@@ -74,7 +74,11 @@ def jacobi_eigh(A, sweeps: int = 10):
         # produced NaN that wiped the whole decomposition.
         use = jnp.abs(apq) > eps_m * (jnp.abs(app) + jnp.abs(aqq)) + tiny
         tau = (aqq - app) / jnp.where(use, 2.0 * apq, 1.0)
-        t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+        # Zero-safe sign: tau == 0 (app == aqq exactly) needs the full
+        # 45-degree rotation t = 1, but jnp.sign(0) = 0 would turn it into a
+        # no-op and the off-diagonal entry would never be annihilated.
+        sgn = jnp.where(tau >= 0, 1.0, -1.0).astype(dt)
+        t = sgn / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
         t = jnp.where(use, t, 0.0)
         c = 1.0 / jnp.sqrt(1.0 + t * t)
         sn = t * c

@@ -63,7 +63,7 @@ def _tr_kernel(
     Delta_bar: float, Delta0: float, mininner: int, has_anchors: bool,
     a_nsel: int = 0, a_R: int = 0,
     plateau_every: int = 0, plateau_rtol: float = 0.0,
-    plateau_atol: float = 0.0,
+    plateau_atol: float = 0.0, res_tol: float = 0.0,
 ):
     f32 = jnp.float32
     C = c_ref[:]          # (Ep, N)
@@ -152,13 +152,36 @@ def _tr_kernel(
         a2 = aUm * jnp.maximum(adist - apsiU, 0.0)
         return a1, a2
 
+    if res_tol > 0.0:
+        # Per-lane scale floor for the relative-residual stop: the mean
+        # equality-edge squared length (solvers/costs.residual_max).
+        eq_cnt = jnp.maximum(_rowsum(om * jnp.ones_like(om)), 1.0)  # (1, 1)
+        r_floor = _rowsum(om * dg) / eq_cnt  # (1, TB)
+
+    def res_max(s0, e1, e2, a1=None, a2=None):
+        """Max relative residual per lane (1, TB); transient intermediates
+        only - the (Ep/Ap, TB) weight tensors are never loop-persistent."""
+        r = jnp.abs(s0) / jnp.maximum(dg, r_floor)
+        r = jnp.maximum(r, e1 / jnp.maximum(psiL, r_floor))
+        r = jnp.maximum(r, e2 / jnp.maximum(psiU, r_floor))
+        rmax = jnp.max(r, axis=0, keepdims=True)
+        if a1 is not None:
+            ra = jnp.maximum(
+                a1 / jnp.maximum(apsiL, r_floor),
+                a2 / jnp.maximum(apsiU, r_floor),
+            )
+            rmax = jnp.maximum(rmax, jnp.max(ra, axis=0, keepdims=True))
+        return rmax
+
     def cost_and_grad(Y):
-        """f (1, TB), grad (dN, TB) - edge convention (ops/edge.py)."""
+        """f (1, TB), grad (dN, TB), rmax (1, TB) - edge convention
+        (ops/edge.py); rmax is 0 when the residual stop is disabled."""
         dY = edge_diffs(Y)
         s0, e1, e2 = cost_terms(dY)
         f = _rowsum(s0 * s0 + e1 * e1 + e2 * e2)
         s = s0 + e1 - e2
         gk = [-2.0 * _dot(Ct, s * dYk) for dYk in dY]
+        a1 = a2 = None
         if has_anchors:
             adY = anchor_diffs(Y)
             a1, a2 = anchor_terms(adY)
@@ -166,7 +189,11 @@ def _tr_kernel(
             sa = a1 - a2
             for k in range(d):
                 gk[k] = gk[k] - 2.0 * a_reduce(sa * adY[k])
-        return f, jnp.concatenate(gk, axis=0)
+        if res_tol > 0.0:
+            rmax = res_max(s0, e1, e2, a1, a2)
+        else:
+            rmax = jnp.zeros_like(f)
+        return f, jnp.concatenate(gk, axis=0), rmax
 
     def gram_scalars(Y):
         """Unique entries of X = Y^T Y as (1, TB) rows: x11,x22,x33,x12,x13,x23."""
@@ -381,9 +408,12 @@ def _tr_kernel(
         return eta, Heta, stop, nsteps
 
     # ---------------- outer TR loop (trust_region.py:112-434) --------------
-    fx0, g0 = cost_and_grad(Y0)
+    fx0, g0, rmax0 = cost_and_grad(Y0)
     norm_g0 = jnp.sqrt(inner12(g0, g0))
-    done0 = ((~active) | (norm_g0 < mingradnorm)).astype(f32)
+    done0 = (~active) | (norm_g0 < mingradnorm)
+    if res_tol > 0.0:
+        done0 = done0 | (rmax0 < res_tol)
+    done0 = done0.astype(f32)
 
     carry0 = (
         jnp.zeros((), jnp.int32),          # k (global)
@@ -396,6 +426,7 @@ def _tr_kernel(
         jnp.zeros((1, TB), f32),           # iters (per lane)
         jnp.zeros((1, TB), f32),           # num_inner (per lane)
         fx0,                               # fx_ref (plateau checkpoint)
+        rmax0,                             # max relative residual
     )
 
     def ocond(st):
@@ -404,7 +435,8 @@ def _tr_kernel(
         return (k < maxiter) & (jnp.sum(1.0 - done_f) > 0.0)
 
     def obody(st):
-        k, Y, fx, grad, norm_grad, Delta, done_f, iters, ninner, fx_ref = st
+        (k, Y, fx, grad, norm_grad, Delta, done_f, iters, ninner, fx_ref,
+         rmax) = st
         upd = done_f == 0.0
         hvp = make_hvp(Y)
         eta, Heta, _stop, nsteps = tcg(hvp, grad, Delta, done_f)
@@ -412,7 +444,7 @@ def _tr_kernel(
         stop_tr = _stop == float(_EXCEEDED_TR)
 
         Y_prop = Y + eta
-        fx_prop, g_prop = cost_and_grad(Y_prop)
+        fx_prop, g_prop, rmax_prop = cost_and_grad(Y_prop)
 
         rho_reg = jnp.maximum(1.0, jnp.abs(fx)) * eps * rho_regularization
         rhonum = fx - fx_prop + rho_reg
@@ -441,6 +473,15 @@ def _tr_kernel(
         done_new = jnp.maximum(
             done_f, (upd & (norm_g_new < mingradnorm)).astype(f32)
         )
+        rmax_new = rmax
+        if res_tol > 0.0:
+            # Feasibility-aware stop: the lane's accepted iterate already
+            # satisfies every edge to ~res_tol/2 of its length - inside the
+            # GN polish basin, so further TR iterations buy nothing.
+            rmax_new = jnp.where(take, rmax_prop, rmax)
+            done_new = jnp.maximum(
+                done_new, (upd & (rmax_new < res_tol)).astype(f32)
+            )
         fx_ref_new = fx_ref
         if plateau_every:
             # Cost-plateau stop (see TRParams.plateau_every): checked on the
@@ -465,11 +506,11 @@ def _tr_kernel(
             iters + upd.astype(f32),
             ninner + jnp.where(upd, nsteps, 0.0),
             fx_ref_new,
+            rmax_new,
         )
 
-    (k, Y, fx, grad, norm_grad, Delta, done_f, iters, ninner, _fx_ref) = (
-        jax.lax.while_loop(ocond, obody, carry0)
-    )
+    (k, Y, fx, grad, norm_grad, Delta, done_f, iters, ninner, _fx_ref,
+     _rmax) = jax.lax.while_loop(ocond, obody, carry0)
 
     yout_ref[:] = Y
     stats = jnp.concatenate(
@@ -497,6 +538,7 @@ def solve_tr_pallas(
     plateau_every: int = 0,
     plateau_rtol: float = 0.0,
     plateau_atol: float = 0.0,
+    res_tol: float = 0.0,
     tile: int | None = None,
     interpret: bool = False,
 ):
@@ -560,7 +602,7 @@ def solve_tr_pallas(
         mininner=int(mininner), has_anchors=bool(Ap),
         a_nsel=int(ep.a_nsel), a_R=int(ep.a_R),
         plateau_every=int(plateau_every), plateau_rtol=float(plateau_rtol),
-        plateau_atol=float(plateau_atol),
+        plateau_atol=float(plateau_atol), res_tol=float(res_tol),
     )
     grid = (Bp // tile,)
     in_specs = [

@@ -51,7 +51,11 @@ def initialize(
     On TPU pods with automatic configuration, call with no arguments.
     No-op when the distributed client is already initialized.
     """
-    if jax._src.distributed.global_state.client is not None:  # already up
+    # Re-entry guard without reaching into jax._src internals: prefer the
+    # public is_initialized() when this jax version has it, else fall back
+    # to catching the "already initialized" RuntimeError below.
+    is_init = getattr(jax.distributed, "is_initialized", None)
+    if is_init is not None and is_init():
         return
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS"
@@ -60,12 +64,16 @@ def initialize(
         num_processes = int(os.environ["JAX_NUM_PROCESSES"])
     if process_id is None and "JAX_PROCESS_ID" in os.environ:
         process_id = int(os.environ["JAX_PROCESS_ID"])
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-        local_device_ids=local_device_ids,
-    )
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+            local_device_ids=local_device_ids,
+        )
+    except RuntimeError as exc:  # already-initialized on older jax
+        if "already initialized" not in str(exc).lower():
+            raise
 
 
 def global_batch_mesh(axis_name: str = "batch") -> Mesh:

@@ -66,8 +66,21 @@ def solve_ik_sharded(
         check_vma=False,  # while_loop carries + Pallas out_shapes predate
         # the varying-manual-axes checker; classic shard_map semantics.
     ))
-    T_goal = jax.device_put(jnp.asarray(T_goal), in_sharding)
-    return fn(T_goal)
+    # shard_map requires the batch axis to divide evenly over the mesh
+    # (the previous sharding-annotated jit tolerated ragged shards): pad
+    # with copies of goal 0 and slice every output back to the true batch.
+    T_goal = jnp.asarray(T_goal)
+    B = T_goal.shape[0]
+    n_shards = mesh.shape[axis_name]
+    Bp = -(-B // n_shards) * n_shards
+    if Bp != B:
+        pad = jnp.broadcast_to(T_goal[:1], (Bp - B,) + T_goal.shape[1:])
+        T_goal = jnp.concatenate([T_goal, pad], axis=0)
+    T_goal = jax.device_put(T_goal, in_sharding)
+    out = fn(T_goal)
+    if Bp != B:
+        out = jax.tree.map(lambda a: a[:B], out)
+    return out
 
 
 def solve_ik_restarts(

@@ -127,6 +127,37 @@ def ehess(Y, Z, D_goal, omega, psi_L, psi_U, L_mask, U_mask, anchors=None):
     return H
 
 
+def residual_max(Y, D_goal, omega, psi_L, psi_U, L_mask, U_mask,
+                 anchors=None):
+    """Max RELATIVE edge residual: the feasibility-aware stop metric.
+
+    Each equality edge contributes |D_goal - D| / max(D_goal, floor); each
+    hinge its violation / max(psi, floor); anchored hinges likewise. The
+    per-instance floor is the mean equality-edge squared length, so
+    short/zero-length edges measure their absolute residual against the
+    robot's characteristic scale instead of blowing up. For an edge of
+    length L with endpoint position error delta, the relative residual is
+    ~2 delta / L - a max below res_tol implies every edge is satisfied to
+    ~res_tol/2 of its length, i.e. the lane is inside the GN polish basin.
+    """
+    _, S0, E1, E2 = residuals(Y, D_goal, omega, psi_L, psi_U, L_mask, U_mask)
+    eq_cnt = jnp.maximum(jnp.sum(omega), 1.0)
+    floor = jnp.sum(omega * D_goal, axis=(-2, -1)) / eq_cnt  # (...,)
+    fl = floor[..., None, None]
+    r = jnp.abs(S0) / jnp.maximum(D_goal, fl)
+    r = jnp.maximum(r, E1 / jnp.maximum(psi_L, fl))
+    r = jnp.maximum(r, E2 / jnp.maximum(psi_U, fl))
+    rmax = jnp.max(r, axis=(-2, -1))
+    if anchors is not None:
+        _, a1, a2 = _anchor_residuals(Y, anchors)
+        pl = jnp.asarray(anchors["psi_L"], Y.dtype)
+        pu = jnp.asarray(anchors["psi_U"], Y.dtype)
+        flv = floor[..., None]
+        ra = jnp.maximum(a1 / jnp.maximum(pl, flv), a2 / jnp.maximum(pu, flv))
+        rmax = jnp.maximum(rmax, jnp.max(ra, axis=-1))
+    return rmax
+
+
 def make_masks(omega, psi_L, psi_U):
     """Hinge activity masks (riemannian_solver.py:123-125)."""
     diff = psi_L != psi_U

@@ -77,6 +77,15 @@ class TRParams:
     plateau_every: int = 16
     plateau_rtol: float = 1e-4
     plateau_atol: float = 0.0
+    # Feasibility-aware stop: a lane stops as soon as its max RELATIVE edge
+    # residual (costs.residual_max - |D_goal - D| over the edge's squared
+    # length, hinge violations over their bound, floored at the mean edge
+    # scale) drops below res_tol. For an edge of length L this bounds the
+    # endpoint error by ~res_tol L / 2, i.e. the lane is already inside the
+    # GN polish basin; burning more TR iterations there buys nothing the
+    # polish doesn't provide. 0 disables (reference-faithful: the reference
+    # only stops on gradnorm, trust_region.py:413-422).
+    res_tol: float = 0.0
     # Pallas kernel lane-tile override (instances per grid step); None =
     # auto-size from the VMEM footprint (ops/tr_pallas.solve_tr_pallas).
     tile: Optional[int] = None
@@ -344,9 +353,11 @@ class _TRState(NamedTuple):
     done: jnp.ndarray
     num_inner_total: jnp.ndarray
     fx_ref: jnp.ndarray  # cost at the last plateau checkpoint
+    rmax: jnp.ndarray  # max relative residual at the current iterate
 
 
-def _solve_single(Y0, cost_fn, grad_fn, hess_fn, p: TRParams, maxinner: int):
+def _solve_single(Y0, cost_fn, grad_fn, hess_fn, p: TRParams, maxinner: int,
+                  resmax_fn=None):
     """One TR solve (trust_region.py:112-434); to be vmapped."""
     dt = Y0.dtype
     eps = jnp.finfo(dt).eps
@@ -356,9 +367,11 @@ def _solve_single(Y0, cost_fn, grad_fn, hess_fn, p: TRParams, maxinner: int):
     mingradnorm = p.mingradnorm
     if mingradnorm is None:
         mingradnorm = 0.5e-9 if dt == jnp.float64 else 2e-6
+    use_res = p.res_tol > 0.0 and resmax_fn is not None
 
     fx0 = cost_fn(Y0)
     g0 = grad_fn(Y0)
+    rmax0 = resmax_fn(Y0) if use_res else jnp.full((), jnp.inf, dt)
     init = _TRState(
         k=jnp.zeros((), jnp.int32),
         Y=Y0,
@@ -366,9 +379,10 @@ def _solve_single(Y0, cost_fn, grad_fn, hess_fn, p: TRParams, maxinner: int):
         grad=g0,
         norm_grad=jnp.sqrt(_inner(g0, g0)),
         Delta=jnp.full((), Delta0, dt),
-        done=jnp.zeros((), bool),
+        done=jnp.logical_and(use_res, rmax0 < p.res_tol),
         num_inner_total=jnp.zeros((), jnp.int32),
         fx_ref=fx0,
+        rmax=rmax0,
     )
 
     def cond(s: _TRState):
@@ -412,6 +426,10 @@ def _solve_single(Y0, cost_fn, grad_fn, hess_fn, p: TRParams, maxinner: int):
 
         k_new = s.k + 1
         done = (norm_grad_new < mingradnorm) | (k_new >= p.maxiter)
+        rmax_new = s.rmax
+        if use_res:
+            rmax_new = jnp.where(accept, resmax_fn(Y_prop), s.rmax)
+            done = done | (rmax_new < p.res_tol)
         fx_ref_new = s.fx_ref
         if p.plateau_every:
             at_check = (k_new % p.plateau_every) == 0
@@ -431,6 +449,7 @@ def _solve_single(Y0, cost_fn, grad_fn, hess_fn, p: TRParams, maxinner: int):
             done=done,
             num_inner_total=s.num_inner_total + numit,
             fx_ref=fx_ref_new,
+            rmax=rmax_new,
         )
 
     out = jax.lax.while_loop(cond, body, init)
@@ -519,6 +538,7 @@ def solve(
             plateau_every=params.plateau_every,
             plateau_rtol=params.plateau_rtol,
             plateau_atol=params.plateau_atol,
+            res_tol=params.res_tol,
             tile=params.tile,
             interpret=jax.default_backend() != "tpu",
         )
@@ -543,8 +563,9 @@ def solve(
             hess_fn = lambda Y, v: manifold_proj(
                 Y, edge_ops.ehess(ep, Y, v, dg_e)
             )
+            resmax_fn = lambda Y: edge_ops.residual_max(ep, Y, dg_e)
             return _solve_single(Y0_i, cost_fn, grad_fn, hess_fn, params,
-                                 maxinner)
+                                 maxinner, resmax_fn=resmax_fn)
     else:
         def one(Y0_i, D_goal_i):
             cost_fn = lambda Y: costs.cost(
@@ -557,8 +578,11 @@ def solve(
                 Y, costs.ehess(Y, v, D_goal_i, omega, psi_L, psi_U, L_mask,
                                U_mask, anchors)
             )
+            resmax_fn = lambda Y: costs.residual_max(
+                Y, D_goal_i, omega, psi_L, psi_U, L_mask, U_mask, anchors
+            )
             return _solve_single(Y0_i, cost_fn, grad_fn, hess_fn, params,
-                                 maxinner)
+                                 maxinner, resmax_fn=resmax_fn)
 
     fn = one
     for _ in range(len(batch)):
