@@ -109,13 +109,14 @@ def main():
     from graphik_tpu.utils.environments import table_environment
 
     # Batch 4096 amortizes the fixed prepare/finish stage cost that dominates
-    # at 1024 (8192 is already past the knee). maxiter 150 holds ur10
-    # success at 0.882 - ratio 0.994 vs the n=1000 f64 denominator 0.887,
-    # worst-case 0.974 against the denominator's upper Wilson bound - at
-    # ~12.7k successful solves/s/chip (round-3 sweeps; 400 iters buys +2%
-    # success for ~2x the wall).
+    # at 1024 (8192 is already past the knee). Round-4 operating point:
+    # the subspace-iteration MDS init cut the fixed stage cost ~5x, moving
+    # the effective-throughput optimum from maxiter 150 to 120 (ur10
+    # success 0.876, ratio 0.988 vs the n=1000 f64 denominator 0.887, at
+    # ~19-20k successful solves/s/chip; 150 buys +0.6% success for -13%
+    # effective throughput).
     batch = int(os.environ.get("BENCH_BATCH", "4096"))
-    maxiter = int(os.environ.get("BENCH_MAXITER", "150"))
+    maxiter = int(os.environ.get("BENCH_MAXITER", "120"))
     # tCG budget 24: success within 0.3% of 48 at +45% throughput.
     maxinner = int(os.environ.get("BENCH_MAXINNER", "24"))
     # GN polish budget 10: quadratic convergence needs ~4 accepted steps

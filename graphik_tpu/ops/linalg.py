@@ -9,6 +9,7 @@ few dozen fused vector ops instead.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -141,3 +142,34 @@ def spd_inverse_factor(A, block: int = 16):
     x = Linv^T (Linv b).
     """
     return tri_lower_inv_blocked(chol_blocked(A, block), block)
+
+
+def psd_project_ns(W, iters: int = 14):
+    """PSD cone projection P = (W + |W|)/2 via Newton-Schulz matrix sign.
+
+    |W| = W sign(W) for symmetric W, and the sign iterates as
+    S_{k+1} = S_k (3 I - S_k^2) / 2 starting from W normalized by its
+    Frobenius norm (an upper bound on the spectral radius, guaranteeing
+    convergence). Everything is a batched (s, s) matmul - MXU-resident -
+    versus the ~120 sequential scatter-heavy rotation rounds of a Jacobi
+    eigendecomposition. Eigenvalues of magnitude below ~(2/3)^iters of the
+    norm have inaccurate signs, but their contribution to P is bounded by
+    |lam|/2, so moderate `iters` already gives a projection far inside the
+    tolerance of the f32 ADMM that consumes it (solvers/cidgik.py).
+    """
+    hp = jax.lax.Precision.HIGHEST
+
+    def mm(a, b):
+        return jnp.matmul(a, b, precision=hp)
+
+    W = jnp.asarray(W)
+    nrm = jnp.sqrt(jnp.sum(W * W, axis=(-2, -1), keepdims=True))
+    safe = jnp.maximum(nrm, jnp.finfo(W.dtype).tiny)
+    S = W / safe
+    eye = jnp.eye(W.shape[-1], dtype=W.dtype)
+    for _ in range(iters):
+        S = 0.5 * mm(S, 3.0 * eye - mm(S, S))
+    # resymmetrize: rounding drift in the iteration is skew-amplified
+    absW = mm(W, S)
+    absW = 0.5 * (absW + jnp.swapaxes(absW, -1, -2))
+    return 0.5 * (W + absW)

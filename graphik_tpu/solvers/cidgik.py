@@ -317,6 +317,13 @@ class CidgikParams:
     # XLA's iterative eigh inside while x scan x vmap takes >25 min to
     # compile on TPU. 0 = use jnp.linalg.eigh.
     eigh_sweeps: int = 8
+    # PSD cone projection backend for the per-ADMM-iteration projection:
+    # >0 switches from the Jacobi eigendecomposition (~120 sequential
+    # scatter-heavy rotation rounds per call) to that many Newton-Schulz
+    # matrix-sign iterations (ops/linalg.psd_project_ns) - pure batched
+    # (s, s) matmuls on the MXU. The Fantope projection (once per OUTER
+    # round) needs actual eigenvectors and always uses eigh.
+    cone_ns_iters: int = 0
     # Iterative-refinement steps for the affine-projection Cholesky solve.
     # In float32 the ~90x90 constraint Gram is ill-conditioned enough that
     # the raw solve biases the ADMM fixed point by ~cm; one refinement step
@@ -387,12 +394,18 @@ def _solve_sdp_admm(A_eq, b_eq, A_in, lo, hi, C, Z0, s0, u0, params):
         return Z_new, t_new
 
     def cone_project(W, t):
-        if params.eigh_sweeps:
+        if params.cone_ns_iters:
+            from graphik_tpu.ops.linalg import psd_project_ns
+
+            Wp = psd_project_ns(W, iters=params.cone_ns_iters)
+        elif params.eigh_sweeps:
             lam, Q = jacobi_eigh(W, sweeps=params.eigh_sweeps)
+            lam = jnp.maximum(lam, 0.0)
+            Wp = (Q * lam[None, :]) @ Q.T
         else:
             lam, Q = jnp.linalg.eigh(W)
-        lam = jnp.maximum(lam, 0.0)
-        Wp = (Q * lam[None, :]) @ Q.T
+            lam = jnp.maximum(lam, 0.0)
+            Wp = (Q * lam[None, :]) @ Q.T
         tp = jnp.clip(t, lo, hi) if m_in else t
         return Wp, tp
 

@@ -86,12 +86,15 @@ def mds(B, eps=1e-8, eigh_sweeps=0):
     return factor_psd(B, eps=eps, eigh_sweeps=eigh_sweeps)
 
 
-def linear_projection(P, F, dim, eigh_sweeps=0):
+def linear_projection(P, F, dim, eigh_sweeps=0, subspace_iters=0):
     """Project points onto the dominant `dim`-dim subspace of the edge scatter.
 
     Batched equivalent of dgp.py:174-183: S = sum over nonzero (i,j) of F of
     outer(P_i - P_j); project P onto the top-`dim` eigenvectors of S.
     `F` is a dense (N, N) nonnegative mask (static or batched).
+    subspace_iters > 0 extracts the dominant subspace by orthogonal
+    iteration (ops/subspace.topk_eigh) instead of a full eigendecomposition
+    - the init-path fast path on TPU.
     """
     P = jnp.asarray(P)
     F = jnp.asarray(F)
@@ -104,8 +107,13 @@ def linear_projection(P, F, dim, eigh_sweeps=0):
     PtP_j = jnp.einsum("...j,...jk,...jl->...kl", deg_j, P, P)
     cross = jnp.einsum("...ij,...ik,...jl->...kl", mask, P, P)
     S = PtP_i + PtP_j - cross - jnp.swapaxes(cross, -1, -2)
-    _, eigvec = _eigh(S, eigh_sweeps)  # ascending
-    basis = jnp.flip(eigvec, axis=-1)[..., :, :dim]
+    if subspace_iters:
+        from graphik_tpu.ops.subspace import topk_eigh
+
+        _, basis = topk_eigh(S, dim, subspace_iters, psd=True)
+    else:
+        _, eigvec = _eigh(S, eigh_sweeps)  # ascending
+        basis = jnp.flip(eigvec, axis=-1)[..., :, :dim]
     return P @ basis
 
 
