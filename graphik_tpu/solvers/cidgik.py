@@ -306,6 +306,12 @@ def _constraint_matrices(comp: CidgikCompiled, anchors_pos, dtype):
 class CidgikParams:
     max_outer: int = 10  # convex-iteration budget (convex_iteration.py:164)
     admm_iters: int = 2000  # per SDP solve (cap; stops early on admm_tol)
+    # Iteration budget for the FIRST convex-iteration round only (None =
+    # admm_iters). Warm-started later rounds start from the previous
+    # round's primal/dual point and converge in a fraction of the cold
+    # first solve's iterations, so a (long, short) schedule buys ~2x
+    # wall at equal polished accuracy (split engine only).
+    admm_iters_rest: Optional[int] = None
     admm_tol: float = 1e-7  # primal-dual residual target per solve
     relax: float = 1.6  # ADMM over-relaxation
     rho: float = 1.0  # ADMM penalty
@@ -472,6 +478,446 @@ def _solve_sdp_admm(A_eq, b_eq, A_in, lo, hi, C, Z0, s0, u0, params):
     return Z, t, (Uz, ut), feas
 
 
+# ---------------------------------------------------------------------------
+# Split (static/dynamic) batched ADMM engine
+#
+# Everything in the constraint set except the ~8 rows touching the GOAL
+# anchors is identical across the batch: the homogenizing identity block,
+# free-free structure edges, base-anchor edges (p0/q0 positions are fixed)
+# and every obstacle inequality (obstacle centers are compile-time
+# constants). Splitting rows into a shared STATIC block and a tiny
+# per-instance DYNAMIC block turns the per-iteration work into
+# shared-weight (m_s, m_s) / (m_s, s^2) matmuls over the batch - MXU
+# shapes - and replaces the per-instance (m, m) Gram factorization with a
+# host-precomputed float64 Cholesky plus an m_d x m_d Schur complement
+# per instance. The vmapped per-instance engine above remains as the
+# oracle path (and backs solve_nearest_point_sdp).
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(eq=False)
+class _SplitOperator:
+    """Host-side (numpy, float64) static data for the split ADMM."""
+
+    # static rows, ordered [eq_s | in_s], row-normalized
+    A_flat: np.ndarray  # (m_s, s*s)
+    b_eq_s: np.ndarray  # (m_eq_s,)
+    lo_s: np.ndarray  # (m_in_s,)
+    hi_s: np.ndarray  # (m_in_s,)
+    G_ss: np.ndarray  # (m_s, m_s) static Gram (+ slack identity on in rows)
+    Linv_ss: np.ndarray  # inverse Cholesky factor: G_ss^-1 = Linv^T Linv
+    As_diag: np.ndarray  # (m_s, nf): A_i[d+u, d+u]
+    As_rowvec: np.ndarray  # (m_s, nf, d): A_i[d+u, :d]
+    # dynamic rows, ordered [eq_d | in_d] (raw, normalized at runtime)
+    u_d: np.ndarray  # (m_d,) free slots
+    g_d: np.ndarray  # (m_d,) anchor slots (goal anchors)
+    d2_d: np.ndarray  # (m_d,) squared edge length (eq rows; 0 on in rows)
+    lo_d: np.ndarray  # (m_d,) raw bounds (in rows; 0 on eq rows)
+    hi_d: np.ndarray
+    m_eq_d: int
+    m_in_d: int
+
+    @property
+    def m_s(self) -> int:
+        return self.A_flat.shape[0]
+
+    @property
+    def m_eq_s(self) -> int:
+        return len(self.b_eq_s)
+
+    @property
+    def m_in_s(self) -> int:
+        return len(self.lo_s)
+
+    @property
+    def m_d(self) -> int:
+        return len(self.u_d)
+
+
+def _build_split_operator(comp: CidgikCompiled) -> _SplitOperator:
+    """Assemble the static/dynamic split (cached on the compiled problem)."""
+    cached = getattr(comp, "_split_op", None)
+    if cached is not None:
+        return cached
+    ps = comp.structure
+    d = comp.d
+    s = comp.s
+    nf = comp.n_free
+    pos_fixed = np.asarray(ps.pos_fixed, np.float64)
+
+    goal_anchor = set()
+    for ee in ps.template.ee:
+        goal_anchor.add(ps.idx_p(int(ee)))
+        if d == 3:
+            goal_anchor.add(ps.idx_q(int(ee)))
+        else:
+            goal_anchor.add(ps.idx_p(int(ps.template.parents[int(ee)])))
+    anchor_is_goal = np.asarray(
+        [int(n) in goal_anchor for n in comp.anchor_idx]
+    )
+    anc_pos = pos_fixed[comp.anchor_idx]  # valid where ~anchor_is_goal
+
+    def ff_mat(u, v):
+        A = np.zeros((s, s))
+        A[d + u, d + u] = 1.0
+        A[d + v, d + v] = 1.0
+        A[d + u, d + v] = -1.0
+        A[d + v, d + u] = -1.0
+        return A
+
+    def fa_mat(u, a):
+        A = np.zeros((s, s))
+        A[d + u, d + u] = 1.0
+        A[d + u, :d] = -a
+        A[:d, d + u] = -a
+        return A
+
+    eq_mats, eq_b = [], []
+    for i in range(d):
+        for j in range(i, d):
+            A = np.zeros((s, s))
+            A[i, j] += 0.5
+            A[j, i] += 0.5
+            eq_mats.append(A)
+            eq_b.append(1.0 if i == j else 0.0)
+    for k in range(len(comp.eq_ff)):
+        u, v = comp.eq_ff[k]
+        eq_mats.append(ff_mat(u, v))
+        eq_b.append(comp.eq_ff_b[k])
+    dyn = []  # (u, g, d2, lo, hi, is_eq)
+    for k in range(len(comp.eq_fa)):
+        u, g = comp.eq_fa[k]
+        if anchor_is_goal[g]:
+            dyn.append((u, g, comp.eq_fa_d2[k], 0.0, 0.0, True))
+        else:
+            a = anc_pos[g, :d]
+            eq_mats.append(fa_mat(u, a))
+            eq_b.append(comp.eq_fa_d2[k] - a @ a)
+
+    in_mats, in_lo, in_hi = [], [], []
+    for k in range(len(comp.in_ff)):
+        u, v = comp.in_ff[k]
+        in_mats.append(ff_mat(u, v))
+        in_lo.append(comp.in_ff_lo[k])
+        in_hi.append(comp.in_ff_hi[k])
+    for k in range(len(comp.in_fa)):
+        u, g = comp.in_fa[k]
+        if anchor_is_goal[g]:
+            dyn.append((u, g, 0.0, comp.in_fa_lo[k], comp.in_fa_hi[k], False))
+        else:
+            a = anc_pos[g, :d]
+            in_mats.append(fa_mat(u, a))
+            in_lo.append(comp.in_fa_lo[k] - a @ a)
+            in_hi.append(comp.in_fa_hi[k] - a @ a)
+
+    A_s = np.stack(eq_mats + in_mats)  # (m_s, s, s)
+    m_eq_s = len(eq_mats)
+    m_in_s = len(in_mats)
+    nrm = np.sqrt(np.maximum((A_s**2).sum(axis=(1, 2)), 1e-12))
+    A_s = A_s / nrm[:, None, None]
+    b_eq_s = np.asarray(eq_b) / nrm[:m_eq_s]
+    lo_s = np.asarray(in_lo) / nrm[m_eq_s:] if m_in_s else np.zeros(0)
+    hi_s = np.asarray(in_hi) / nrm[m_eq_s:] if m_in_s else np.zeros(0)
+
+    A_flat = A_s.reshape(len(A_s), s * s)
+    G_ss = A_flat @ A_flat.T
+    if m_in_s:
+        G_ss[m_eq_s:, m_eq_s:] += np.eye(m_in_s)
+    G_ss += 1e-9 * np.trace(G_ss) / len(G_ss) * np.eye(len(G_ss))
+    L = np.linalg.cholesky(G_ss)
+    Linv_ss = np.linalg.inv(L)
+
+    ui = d + np.arange(nf)
+    As_diag = A_s[:, ui, ui]  # (m_s, nf)
+    As_rowvec = A_s[:, ui, :d]  # (m_s, nf, d)
+
+    dyn_eq = [t for t in dyn if t[5]]
+    dyn_in = [t for t in dyn if not t[5]]
+    dyn = dyn_eq + dyn_in
+    op = _SplitOperator(
+        A_flat=A_flat,
+        b_eq_s=b_eq_s,
+        lo_s=lo_s,
+        hi_s=hi_s,
+        G_ss=G_ss,
+        Linv_ss=Linv_ss,
+        As_diag=As_diag,
+        As_rowvec=As_rowvec,
+        u_d=np.asarray([t[0] for t in dyn], np.int64),
+        g_d=np.asarray([t[1] for t in dyn], np.int64),
+        d2_d=np.asarray([t[2] for t in dyn], np.float64),
+        lo_d=np.asarray([t[3] for t in dyn], np.float64),
+        hi_d=np.asarray([t[4] for t in dyn], np.float64),
+        m_eq_d=len(dyn_eq),
+        m_in_d=len(dyn_in),
+    )
+    comp._split_op = op
+    return op
+
+
+def _solve_sdp_admm_split(op: _SplitOperator, aux, C, Z0, t0, U0, params,
+                          d: int):
+    """Batched linear-cost SDP solve over the split operator.
+
+    aux: dict of per-instance dynamic-row data from _split_aux.
+    Z0 (B, s, s), t0 (B, m_in), U0 = (Uz (B, s, s), ut (B, m_in)),
+    C (B, s, s). Returns (Z, t, U, feas) batched.
+    """
+    dt = Z0.dtype
+    B = Z0.shape[0]
+    s = Z0.shape[-1]
+    m_s = op.m_s
+    m_eq_s = op.m_eq_s
+    m_in_s = op.m_in_s
+    m_d = op.m_d
+    m_eq_d = op.m_eq_d
+    m_in_d = op.m_in_d
+    m_in = m_in_s + m_in_d
+    hp = jax.lax.Precision.HIGHEST
+
+    A_flat = jnp.asarray(op.A_flat, dt)  # (m_s, s*s)
+    b_eq_s = jnp.asarray(op.b_eq_s, dt)
+    lo = jnp.concatenate([
+        jnp.broadcast_to(jnp.asarray(op.lo_s, dt), (B, m_in_s)),
+        aux["lo_d"],
+    ], axis=1) if m_in else jnp.zeros((B, 0), dt)
+    hi = jnp.concatenate([
+        jnp.broadcast_to(jnp.asarray(op.hi_s, dt), (B, m_in_s)),
+        aux["hi_d"],
+    ], axis=1) if m_in else jnp.zeros((B, 0), dt)
+    Linv = jnp.asarray(op.Linv_ss, dt)
+    G_ss = jnp.asarray(op.G_ss, dt)
+    u_d = jnp.asarray(op.u_d)
+    a_d = aux["a_d"]  # (B, m_d, d)
+    nrm_d = aux["nrm_d"]  # (B, m_d)
+    b_d = aux["b_d"]  # (B, m_d): eq rhs on eq rows, 0 on in rows
+    G_sd = aux["G_sd"]  # (B, m_s, m_d)
+    Ls_schur = aux["Ls_schur"]  # (B, m_d, m_d) chol of Schur complement
+    G_dd = aux["G_dd"]
+
+    def gss_inv(r):  # (B, m_s) -> (B, m_s)
+        # two triangular-factor matmuls, shared weights over the batch
+        z = jnp.einsum("ij,bj->bi", Linv, r, precision=hp)
+        return jnp.einsum("ji,bj->bi", Linv, z, precision=hp)
+
+    from graphik_tpu.ops.linalg import chol_solve_unrolled
+
+    def apply_A(Z, t):
+        """Full residual r = [A(Z) - b; A_in(Z) - t], ordered
+        [eq_s | in_s | eq_d | in_d] -> returns (r_s (B, m_s), r_d (B, m_d))."""
+        Zf = Z.reshape(B, s * s)
+        v_s = jnp.einsum("ms,bs->bm", A_flat, Zf, precision=hp)
+        r_s = v_s.at[:, :m_eq_s].add(-b_eq_s)
+        if m_in_s:
+            r_s = r_s.at[:, m_eq_s:].add(-t[:, :m_in_s])
+        if m_d:
+            diag_v = Z[:, d + u_d, d + u_d]  # (B, m_d)
+            row_v = Z[:, d + u_d, :d]  # (B, m_d, d)
+            v_d = (diag_v - 2.0 * jnp.sum(a_d * row_v, axis=-1)) / nrm_d
+            r_d = v_d - b_d
+            if m_in_d:
+                r_d = r_d.at[:, m_eq_d:].add(-t[:, m_in_s:])
+        else:
+            r_d = jnp.zeros((B, 0), dt)
+        return r_s, r_d
+
+    def solve_gram(r_s, r_d):
+        z_s = gss_inv(r_s)
+        if m_d:
+            rhs_d = r_d - jnp.einsum("bim,bi->bm", G_sd, z_s, precision=hp)
+            y_d = chol_solve_unrolled(Ls_schur, rhs_d)
+            y_s = gss_inv(
+                r_s - jnp.einsum("bim,bm->bi", G_sd, y_d, precision=hp)
+            )
+        else:
+            y_d = r_d
+            y_s = z_s
+        for _ in range(params.refine_steps):
+            # residual of the full Gram system, then one more solve
+            Gy_s = jnp.einsum("ij,bj->bi", G_ss, y_s, precision=hp)
+            if m_d:
+                Gy_s = Gy_s + jnp.einsum(
+                    "bim,bm->bi", G_sd, y_d, precision=hp
+                )
+                Gy_d = jnp.einsum(
+                    "bim,bi->bm", G_sd, y_s, precision=hp
+                ) + jnp.einsum("bjk,bk->bj", G_dd, y_d, precision=hp)
+            else:
+                Gy_d = y_d
+            e_s = r_s - Gy_s
+            e_d = r_d - Gy_d if m_d else r_d
+            z_s = gss_inv(e_s)
+            if m_d:
+                rhs_d = e_d - jnp.einsum(
+                    "bim,bi->bm", G_sd, z_s, precision=hp
+                )
+                dy_d = chol_solve_unrolled(Ls_schur, rhs_d)
+                dy_s = gss_inv(
+                    e_s - jnp.einsum("bim,bm->bi", G_sd, dy_d, precision=hp)
+                )
+            else:
+                dy_d = e_d
+                dy_s = z_s
+            y_s = y_s + dy_s
+            y_d = y_d + dy_d if m_d else y_d
+        return y_s, y_d
+
+    def adjoint(y_s, y_d):
+        """dZ = sum_m y_m A_m and the slack part dt = +y on in rows."""
+        Zc = jnp.einsum("ms,bm->bs", A_flat, y_s, precision=hp).reshape(
+            B, s, s
+        )
+        if m_d:
+            w = y_d / nrm_d
+            Zc = Zc.at[:, d + u_d, d + u_d].add(w)
+            Zc = Zc.at[:, d + u_d, :d].add(-w[..., None] * a_d)
+            Zc = Zc.at[:, :d, d + u_d].add(
+                jnp.swapaxes(-w[..., None] * a_d, 1, 2)
+            )
+        parts = []
+        if m_in_s:
+            parts.append(y_s[:, m_eq_s:])
+        if m_in_d:
+            parts.append(y_d[:, m_eq_d:])
+        dt_vec = (jnp.concatenate(parts, axis=1) if parts
+                  else jnp.zeros((B, 0), dt))
+        return Zc, dt_vec
+
+    def affine_project(Z, t):
+        r_s, r_d = apply_A(Z, t)
+        y_s, y_d = solve_gram(r_s, r_d)
+        dZ, dt_vec = adjoint(y_s, y_d)
+        return Z - dZ, t + dt_vec
+
+    def cone_project(W, t):
+        if params.cone_ns_iters:
+            from graphik_tpu.ops.linalg import psd_project_ns
+
+            Wp = psd_project_ns(W, iters=params.cone_ns_iters)
+        elif params.eigh_sweeps:
+            lam, Q = jacobi_eigh(W, sweeps=params.eigh_sweeps)
+            lam = jnp.maximum(lam, 0.0)
+            Wp = jnp.einsum("bik,bk,bjk->bij", Q, lam, Q)
+        else:
+            lam, Q = jnp.linalg.eigh(W)
+            lam = jnp.maximum(lam, 0.0)
+            Wp = jnp.einsum("bik,bk,bjk->bij", Q, lam, Q)
+        tp = jnp.clip(t, lo, hi) if m_in else t
+        return Wp, tp
+
+    alpha = params.relax
+    rho = params.rho
+
+    def cond(carry):
+        Z, t, Uz, ut, k, res = carry
+        return (jnp.max(res) > params.admm_tol) & (k < params.admm_iters)
+
+    def body(carry):
+        Z, t, Uz, ut, k, _ = carry
+        Z1, t1 = affine_project(Z - Uz - C / rho, t - ut)
+        Zr = alpha * Z1 + (1.0 - alpha) * Z
+        tr = alpha * t1 + (1.0 - alpha) * t
+        Z2, t2 = cone_project(Zr + Uz, tr + ut)
+        Uz_new = Uz + Zr - Z2
+        ut_new = ut + tr - t2
+        pri = jnp.sqrt(
+            jnp.sum((Z1 - Z2) ** 2, axis=(-2, -1))
+            + (jnp.sum((t1 - t2) ** 2, axis=-1) if m_in else 0.0)
+        )
+        return (Z2, t2, Uz_new, ut_new, k + 1, pri)
+
+    init = (Z0, t0, U0[0], U0[1], jnp.zeros((), jnp.int32),
+            jnp.full((B,), jnp.inf, dt))
+    Z, t, Uz, ut, _, _ = jax.lax.while_loop(cond, body, init)
+
+    # primal feasibility of the returned cone-feasible iterate: with t = 0,
+    # apply_A returns raw constraint values (b subtracted on eq rows only)
+    v_s, v_d = apply_A(Z, jnp.zeros_like(t))
+    feas = jnp.max(jnp.abs(v_s[:, :m_eq_s]), axis=-1)
+    if m_in_s:
+        vv = v_s[:, m_eq_s:]
+        vio = jnp.maximum(lo[:, :m_in_s] - vv, 0.0) + jnp.maximum(
+            vv - hi[:, :m_in_s], 0.0
+        )
+        feas = jnp.maximum(feas, jnp.max(vio, axis=-1))
+    if m_eq_d:
+        feas = jnp.maximum(feas, jnp.max(jnp.abs(v_d[:, :m_eq_d]), axis=-1))
+    if m_in_d:
+        vv = v_d[:, m_eq_d:]
+        vio_d = jnp.maximum(aux["lo_d"] - vv, 0.0) + jnp.maximum(
+            vv - aux["hi_d"], 0.0
+        )
+        feas = jnp.maximum(feas, jnp.max(vio_d, axis=-1))
+    return Z, t, (Uz, ut), feas
+
+
+def _split_aux(op: _SplitOperator, anchors_pos, params, dt):
+    """Per-instance dynamic-row data + Schur factor (once per solve)."""
+    from graphik_tpu.ops.linalg import chol_unrolled
+
+    hp = jax.lax.Precision.HIGHEST
+    B = anchors_pos.shape[0]
+    m_d = op.m_d
+    d = op.As_rowvec.shape[-1]
+    if m_d == 0:
+        return {
+            "a_d": jnp.zeros((B, 0, d), dt),
+            "nrm_d": jnp.zeros((B, 0), dt),
+            "b_d": jnp.zeros((B, 0), dt),
+            "lo_d": jnp.zeros((B, 0), dt),
+            "hi_d": jnp.zeros((B, 0), dt),
+            "G_sd": jnp.zeros((B, op.m_s, 0), dt),
+            "G_dd": jnp.zeros((B, 0, 0), dt),
+            "Ls_schur": jnp.zeros((B, 0, 0), dt),
+        }
+    g_d = jnp.asarray(op.g_d)
+    a_d = anchors_pos[:, g_d, :]  # (B, m_d, d)
+    a2 = jnp.sum(a_d * a_d, axis=-1)
+    nrm_d = jnp.sqrt(1.0 + 2.0 * a2)
+    is_eq = jnp.arange(m_d) < op.m_eq_d
+    b_d = jnp.where(is_eq, (jnp.asarray(op.d2_d, dt) - a2), 0.0) / nrm_d
+    lo_d = (jnp.asarray(op.lo_d[op.m_eq_d:], dt) - a2[:, op.m_eq_d:]) / \
+        nrm_d[:, op.m_eq_d:]
+    hi_d = (jnp.asarray(op.hi_d[op.m_eq_d:], dt) - a2[:, op.m_eq_d:]) / \
+        nrm_d[:, op.m_eq_d:]
+
+    u_d = np.asarray(op.u_d)
+    Asd_diag = jnp.asarray(op.As_diag[:, u_d], dt)  # (m_s, m_d)
+    Asd_vec = jnp.asarray(op.As_rowvec[:, u_d, :], dt)  # (m_s, m_d, d)
+    G_sd = (
+        Asd_diag[None] - 2.0 * jnp.einsum(
+            "bjk,ijk->bij", a_d, Asd_vec, precision=hp
+        )
+    ) / nrm_d[:, None, :]
+
+    same_u = jnp.asarray(u_d[:, None] == u_d[None, :], dt)
+    G_dd = same_u * (
+        1.0 + 2.0 * jnp.einsum("bjd,bkd->bjk", a_d, a_d, precision=hp)
+    ) / (nrm_d[:, :, None] * nrm_d[:, None, :])
+    if op.m_in_d:
+        slack = jnp.concatenate([
+            jnp.zeros(op.m_eq_d), jnp.ones(op.m_in_d)
+        ]).astype(dt)
+        G_dd = G_dd + jnp.diag(slack)[None]
+
+    Linv = jnp.asarray(op.Linv_ss, dt)
+
+    def gss_inv_mat(Rm):  # (B, m_s, m_d)
+        z = jnp.einsum("ij,bjm->bim", Linv, Rm, precision=hp)
+        return jnp.einsum("ji,bjm->bim", Linv, z, precision=hp)
+
+    W = gss_inv_mat(G_sd)
+    S = G_dd - jnp.einsum("bim,bik->bmk", G_sd, W, precision=hp)
+    S = S + 1e-7 * jnp.trace(S, axis1=-2, axis2=-1)[..., None, None] / m_d \
+        * jnp.eye(m_d, dtype=dt)
+    Ls_schur = chol_unrolled(S)
+    return {
+        "a_d": a_d, "nrm_d": nrm_d, "b_d": b_d,
+        "lo_d": lo_d, "hi_d": hi_d,
+        "G_sd": G_sd, "G_dd": G_dd, "Ls_schur": Ls_schur,
+    }
+
+
 def _fantope(Z, d, eigh_sweeps: int = 8):
     """Closed-form Fantope projection C = U_{d:} U_{d:}^T
     (convex_iteration.py:43-53) and the excess-rank eigenvalue sum."""
@@ -564,11 +1010,17 @@ def solve_cidgik(
     T_goal,
     params: CidgikParams = CidgikParams(),
     dtype=None,
+    engine: str = "split",
 ):
     """Batched CIDGIK solve (solve_with_cidgik, convex_iteration.py:279-319).
 
     T_goal: (..., 4, 4) or (..., n_ee, 4, 4); leading dims batch.
     Returns dict: q, points (all problem nodes), status, eig_sum, feas.
+
+    engine: "split" (default) runs the static/dynamic split batched ADMM -
+    shared-weight MXU matmuls, host-precomputed static Gram factor, tiny
+    per-instance Schur complement. "vmap" is the original per-instance
+    engine (oracle path).
     """
     ps = comp.structure
     pos_all = ps.goal_positions(T_goal, dtype=dtype)  # (..., N, dim)
@@ -577,6 +1029,11 @@ def solve_cidgik(
     s = comp.s
 
     anchors_pos = pos_all[..., jnp.asarray(comp.anchor_idx), :]
+
+    if engine == "split":
+        return _solve_cidgik_split(
+            comp, T_goal, pos_all, anchors_pos, params
+        )
 
     def single(anc_pos, pos_nodes):
         A_eq, b_eq, A_in, lo, hi = _constraint_matrices(comp, anc_pos, dt)
@@ -636,6 +1093,108 @@ def solve_cidgik(
         fn = jax.vmap(fn)
     with jax.default_matmul_precision("highest"):
         points, status, eig_sum, feas = fn(anchors_pos, pos_all)
+        q = ps.joint_variables(points, T_goal)
+    return {
+        "q": q,
+        "points": points,
+        "status": status,
+        "eig_sum": eig_sum,
+        "feas": feas,
+    }
+
+
+def _solve_cidgik_split(comp, T_goal, pos_all, anchors_pos, params):
+    """Convex-iteration driver over the split batched ADMM engine."""
+    ps = comp.structure
+    d = comp.d
+    s = comp.s
+    dt = pos_all.dtype
+    batch = pos_all.shape[:-2]
+    B = int(np.prod(batch)) if batch else 1
+    anc = anchors_pos.reshape(B, len(comp.anchor_idx), d)
+    op = _build_split_operator(comp)
+    aux = _split_aux(op, anc, params, dt)
+    m_in = op.m_in_s + op.m_in_d
+
+    eye_d = jnp.eye(d, dtype=dt)
+    Z0 = jnp.zeros((B, s, s), dt).at[:, :d, :d].set(eye_d)
+    t0 = jnp.zeros((B, m_in), dt)
+    if m_in:
+        lo = jnp.concatenate([
+            jnp.broadcast_to(jnp.asarray(op.lo_s, dt), (B, op.m_in_s)),
+            aux["lo_d"],
+        ], axis=1)
+        hi = jnp.concatenate([
+            jnp.broadcast_to(jnp.asarray(op.hi_s, dt), (B, op.m_in_s)),
+            aux["hi_d"],
+        ], axis=1)
+        t0 = jnp.clip(t0, lo, hi)
+    U0 = (jnp.zeros((B, s, s), dt), jnp.zeros((B, m_in), dt))
+    C0 = jnp.broadcast_to(jnp.eye(s, dtype=dt), (B, s, s))
+
+    def keep(done, old, new):
+        mask = done.reshape(done.shape + (1,) * (old.ndim - 1))
+        return jnp.where(mask, old, new)
+
+    def make_outer(round_params):
+        def outer(carry, _):
+            Z, t, U, C, last_cost, done, feas_prev, eig_prev = carry
+            Z_new, t_new, U_new, feas = _solve_sdp_admm_split(
+                op, aux, C, Z, t, U, round_params, d
+            )
+            C_new, eig_sum = _fantope(Z_new, d, params.eigh_sweeps)
+            cost = jnp.sum(C * Z_new, axis=(-2, -1))
+            change = jnp.abs(last_cost - cost)
+            rel = change / jnp.maximum(jnp.abs(last_cost), 1e-30)
+            new_done = done | (
+                (change <= params.abs_tol)
+                | (cost <= params.abs_tol)
+                | (rel < params.rel_tol)
+            )
+            return (
+                keep(done, Z, Z_new),
+                keep(done, t, t_new),
+                jax.tree.map(lambda o, n: keep(done, o, n), U, U_new),
+                keep(done, C, C_new),
+                keep(done, last_cost, cost),
+                new_done,
+                keep(done, feas_prev, feas),
+                keep(done, eig_prev, eig_sum),
+            ), None
+        return outer
+
+    init = (
+        Z0, t0, U0, C0,
+        jnp.full((B,), 1e6, dt),
+        jnp.zeros((B,), bool),
+        jnp.full((B,), jnp.inf, dt),
+        jnp.full((B,), jnp.inf, dt),
+    )
+    with jax.default_matmul_precision("highest"):
+        # (long, short) schedule: round 0 cold-solves; warm-started rounds
+        # reuse the primal/dual point and need far fewer iterations.
+        carry, _ = jax.lax.scan(make_outer(params), init, None, length=1)
+        if params.max_outer > 1:
+            rest = params
+            if params.admm_iters_rest is not None:
+                rest = dataclasses.replace(
+                    params, admm_iters=params.admm_iters_rest
+                )
+            carry, _ = jax.lax.scan(
+                make_outer(rest), carry, None,
+                length=params.max_outer - 1,
+            )
+        (Z, t, U, C, cost, done, feas, eig_sum) = carry
+
+        X = Z[:, d:, :d]  # (B, n_free, d)
+        points = pos_all.reshape(B, ps.N, d)
+        points = points.at[:, jnp.asarray(comp.free_idx), :].set(X)
+        status = jnp.where(feas <= params.feas_tol, FEASIBLE, INFEASIBLE)
+
+        points = points.reshape(batch + (ps.N, d))
+        status = status.reshape(batch)
+        eig_sum = eig_sum.reshape(batch)
+        feas = feas.reshape(batch)
         q = ps.joint_variables(points, T_goal)
     return {
         "q": q,

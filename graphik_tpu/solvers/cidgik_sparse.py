@@ -396,9 +396,17 @@ def _solve_sdp_admm_blocks(A_eq, b_eq, A_in, lo, hi, C, Z0, t0, U0, params,
     def cone_project(W, t):
         if pad_mask is not None:
             W = W * pad_mask
-        lam, Q = _eigh_blocks(W, params.eigh_sweeps)
-        lam = jnp.maximum(lam, 0.0)
-        Wp = jnp.einsum("kij,kj,klj->kil", Q, lam, Q)
+        if params.cone_ns_iters:
+            # Newton-Schulz matrix-sign projection (ops/linalg): pure
+            # batched matmuls; zero padded rows/cols are invariant under
+            # the iteration, so the pad structure survives.
+            from graphik_tpu.ops.linalg import psd_project_ns
+
+            Wp = psd_project_ns(W, iters=params.cone_ns_iters)
+        else:
+            lam, Q = _eigh_blocks(W, params.eigh_sweeps)
+            lam = jnp.maximum(lam, 0.0)
+            Wp = jnp.einsum("kij,kj,klj->kil", Q, lam, Q)
         if pad_mask is not None:
             Wp = Wp * pad_mask
         tp = jnp.clip(t, lo, hi) if m_in else t
