@@ -97,6 +97,9 @@ def shard_local_batch(x_local, mesh: Mesh, axis_name: str = "batch"):
     )
 
 
+_RUNNER_CACHE = {}
+
+
 def solve_ik_global(
     structure: ProblemStructure,
     T_goal_local,
@@ -124,6 +127,21 @@ def solve_ik_global(
     if mesh is None:
         mesh = global_batch_mesh(axis_name)
     T_goal = shard_local_batch(jnp.asarray(T_goal_local), mesh, axis_name)
+
+    # Memoize the jitted runner: rebuilding jit(shard_map(...)) per call
+    # forces a retrace every solve, and in a multi-process runtime each
+    # lowering adds a cross-host compile-coordination round trip - repeated
+    # solves were paying seconds of overhead each (scaling_bench measured
+    # 6x throughput loss at 2 processes before this cache).
+    try:
+        cache_key = (
+            id(structure), mesh, axis_name, params,
+            float(criterion_pos), float(criterion_rot),
+            tuple(sorted(kwargs.items())),
+        )
+        hash(cache_key)
+    except TypeError:
+        cache_key = None
 
     def local(Tg):
         # Runs per device shard (shard_map): the Pallas solver kernel has no
@@ -156,11 +174,15 @@ def solve_ik_global(
         }
         return out, metrics
 
-    run = jax.jit(jax.shard_map(
-        local, mesh=mesh, in_specs=P(axis_name),
-        out_specs=(P(axis_name), P()),
-        check_vma=False,  # see mesh.solve_ik_sharded
-    ))
+    run = _RUNNER_CACHE.get(cache_key) if cache_key is not None else None
+    if run is None:
+        run = jax.jit(jax.shard_map(
+            local, mesh=mesh, in_specs=P(axis_name),
+            out_specs=(P(axis_name), P()),
+            check_vma=False,  # see mesh.solve_ik_sharded
+        ))
+        if cache_key is not None:
+            _RUNNER_CACHE[cache_key] = run
     out, metrics = run(T_goal)
     # metrics are fully replicated scalars - addressable everywhere
     metrics = {k: float(v) for k, v in metrics.items()}

@@ -94,3 +94,19 @@ def test_two_process_solve_matches_single(tmp_path):
         results[0]["metrics"]["mean_pos_err"]
         - single["metrics"]["mean_pos_err"]
     ) < 1e-5
+
+
+def test_scaling_harness_two_proc_speedup():
+    """Scaling-efficiency harness smoke (tools/scaling_bench.py): with each
+    process pinned to its own core (one 'host' each), 2-process global
+    throughput must exceed 1.2x the 1-process throughput. Coarse - this
+    asserts the harness and launch contract work, not pod-grade numbers
+    (measured ~1.8x speedup / ~0.89 efficiency on this 2-core box at 512
+    goals; the BASELINE >=80% multi-host claim is measured with the same
+    tool on real hardware)."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import scaling_bench
+
+    tp1, _ = scaling_bench.run_world(1, goals=512, reps=2)
+    tp2, _ = scaling_bench.run_world(2, goals=512, reps=2)
+    assert tp2 >= 1.2 * tp1, (tp1, tp2)

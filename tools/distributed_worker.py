@@ -8,6 +8,11 @@ spawns two over 127.0.0.1). Env contract:
       single-process (the same code path, 1-process mesh).
   GRAPHIK_GOALS   global goal batch size (default 8)
   GRAPHIK_OUT     path to write this process's JSON summary
+  GRAPHIK_SCALING_REPS
+      when set (>0): after a warmup solve, time that many repeated global
+      solves and report global solves/s (the scaling-efficiency probe -
+      the in-solve psum collectives synchronize the processes, so every
+      process measures the same global wall)
 
 Each process generates ITS OWN shard of the seeded global goal batch
 (deterministic: the full batch is derived from one key and sliced by
@@ -59,13 +64,32 @@ def main():
         ps, T_local, mesh=mesh, params=TRParams(maxiter=60),
     )
 
+    record = {
+        "world": jax.device_count(),
+        "process": pid,
+        "local_batch": int(out_local["q"].shape[0]),
+        "metrics": metrics,
+    }
+
+    reps = int(os.environ.get("GRAPHIK_SCALING_REPS", "0"))
+    if reps:
+        import time
+
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out_local, metrics = distributed.solve_ik_global(
+                ps, T_local, mesh=mesh, params=TRParams(maxiter=60),
+            )
+        jax.block_until_ready(out_local["q"])
+        wall = time.perf_counter() - t0
+        record["scaling"] = {
+            "reps": reps,
+            "wall_s": wall,
+            "global_solves_per_s": goals * reps / wall,
+        }
+
     with open(out_path, "w") as f:
-        json.dump({
-            "world": jax.device_count(),
-            "process": pid,
-            "local_batch": int(out_local["q"].shape[0]),
-            "metrics": metrics,
-        }, f)
+        json.dump(record, f)
     print(f"[worker {pid}] metrics {metrics}", flush=True)
 
 
