@@ -252,8 +252,60 @@ def _sphere_mesh(center, radius, n_theta=16, n_phi=12):
     return verts, np.asarray(faces, np.int64)
 
 
+def load_mesh(path):
+    """Load a triangle mesh from a .obj or .stl file (ascii or binary).
+
+    Returns (vertices (V, 3) float64, faces (F, 3) int). Covers the mesh
+    idioms the reference's pyrender path consumes via trimesh
+    (urdf_visualization.py:9-60): OBJ v/f records (polygon faces fan-
+    triangulated, v/vt/vn and negative indices handled) and both STL
+    flavors (binary STL emits per-facet vertices; no dedup is attempted).
+    """
+    lower = path.lower()
+    if lower.endswith(".obj"):
+        verts, faces = [], []
+        with open(path) as f:
+            for line in f:
+                parts = line.split()
+                if not parts:
+                    continue
+                if parts[0] == "v":
+                    verts.append([float(x) for x in parts[1:4]])
+                elif parts[0] == "f":
+                    idx = []
+                    for tok in parts[1:]:
+                        k = int(tok.split("/")[0])
+                        idx.append(k - 1 if k > 0 else len(verts) + k)
+                    for j in range(1, len(idx) - 1):  # fan-triangulate
+                        faces.append([idx[0], idx[j], idx[j + 1]])
+        return np.asarray(verts, float), np.asarray(faces, int)
+    if lower.endswith(".stl"):
+        with open(path, "rb") as f:
+            raw = f.read()
+        head = raw[:512].lstrip()
+        if head.startswith(b"solid") and b"facet" in raw[:2048]:
+            verts = []
+            for line in raw.decode("ascii", "ignore").splitlines():
+                parts = line.split()
+                if parts[:1] == ["vertex"]:
+                    verts.append([float(x) for x in parts[1:4]])
+            verts = np.asarray(verts, float)
+        else:
+            import struct
+
+            (n_tri,) = struct.unpack_from("<I", raw, 80)
+            data = np.frombuffer(
+                raw, dtype=np.uint8, count=50 * n_tri, offset=84
+            ).reshape(n_tri, 50)
+            tri = data[:, 12:48].copy().view("<f4").reshape(n_tri, 3, 3)
+            verts = tri.reshape(-1, 3).astype(float)
+        faces = np.arange(len(verts), dtype=int).reshape(-1, 3)
+        return verts, faces
+    raise ValueError(f"unsupported mesh format: {path}")
+
+
 def export_scene_obj(ps, q, path, link_radius=0.025, T_goal=None,
-                     axis_scale=0.12):
+                     axis_scale=0.12, link_meshes=None):
     """Write the solved scene as a Wavefront OBJ triangle mesh.
 
     The reference renders URDF meshes in a pyrender window
@@ -262,14 +314,31 @@ def export_scene_obj(ps, q, path, link_radius=0.025, T_goal=None,
     link cylinders at configuration q, obstacle spheres, and (optionally)
     goal-frame axis rods, grouped per object so viewers can color them.
     Returns (n_vertices, n_faces).
+
+    link_meshes: optional {link_index: mesh_path | (mesh_path, T_local)}
+    - per-link .obj/.stl files (load_mesh) posed in that link's world
+    frame (optionally offset by the 4x4 T_local), replacing the generated
+    cylinder for that link. This is the mesh-visualization analogue of
+    the reference's URDF-mesh scene (urdf_visualization.py:9-60).
     """
     tpl = ps.template
     from graphik_tpu.robots import kinematics as _kin
 
     T_all = np.asarray(_kin.all_poses(tpl, np.asarray(q, dtype=float)))
+    link_meshes = link_meshes or {}
     groups = []
     for i in range(1, tpl.n + 1):
         par = int(tpl.parents[i])
+        if i in link_meshes:
+            spec = link_meshes[i]
+            mesh_path, T_local = spec if isinstance(spec, tuple) else (
+                spec, np.eye(4)
+            )
+            mv, mf = load_mesh(mesh_path)
+            Tw = T_all[i] @ np.asarray(T_local, float)
+            mv = mv @ Tw[:3, :3].T + Tw[:3, 3]
+            groups.append((f"link_{par}_{i}_mesh", mv, mf))
+            continue
         groups.append((f"link_{par}_{i}", *_cylinder_mesh(
             T_all[par, :3, 3], T_all[i, :3, 3], link_radius
         )))

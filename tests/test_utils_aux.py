@@ -145,3 +145,89 @@ class TestVisualization:
         d = np.linalg.norm(va - np.array([0.5, 0.5, 0.5]), axis=1)
         on_sphere = np.isclose(d, 0.2, atol=1e-6).sum()
         assert on_sphere >= 100  # the sphere's vertex budget
+
+
+class TestMeshLoading:
+    """Mesh-file loading for the scene export (the last pyrender-parity
+    gap: urdf_visualization.py consumes URDF mesh files via trimesh)."""
+
+    def _write_cube_obj(self, path):
+        v = [(0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0),
+             (0, 0, 1), (1, 0, 1), (1, 1, 1), (0, 1, 1)]
+        # quad faces with v/vt/vn tokens: exercises fan-triangulation
+        quads = [(1, 2, 3, 4), (5, 6, 7, 8), (1, 2, 6, 5),
+                 (2, 3, 7, 6), (3, 4, 8, 7), (4, 1, 5, 8)]
+        with open(path, "w") as f:
+            for x in v:
+                f.write(f"v {x[0]} {x[1]} {x[2]}\n")
+            for q in quads:
+                f.write("f " + " ".join(f"{i}//1" for i in q) + "\n")
+
+    def _write_binary_stl(self, path):
+        import struct
+
+        tris = np.asarray([
+            [[0, 0, 0], [1, 0, 0], [0, 1, 0]],
+            [[0, 0, 0], [0, 1, 0], [0, 0, 1]],
+        ], np.float32)
+        with open(path, "wb") as f:
+            f.write(b"\0" * 80)
+            f.write(struct.pack("<I", len(tris)))
+            for t in tris:
+                f.write(struct.pack("<3f", 0, 0, 1))
+                for vert in t:
+                    f.write(struct.pack("<3f", *vert))
+                f.write(struct.pack("<H", 0))
+
+    def test_load_obj_quads(self, tmp_path):
+        from graphik_tpu.utils import visualization as viz
+
+        p = tmp_path / "cube.obj"
+        self._write_cube_obj(p)
+        verts, faces = viz.load_mesh(str(p))
+        assert verts.shape == (8, 3)
+        assert faces.shape == (12, 3)  # 6 quads fan-split into 12 tris
+        assert faces.min() >= 0 and faces.max() <= 7
+
+    def test_load_binary_stl(self, tmp_path):
+        from graphik_tpu.utils import visualization as viz
+
+        p = tmp_path / "tri.stl"
+        self._write_binary_stl(p)
+        verts, faces = viz.load_mesh(str(p))
+        assert verts.shape == (6, 3)
+        assert faces.shape == (2, 3)
+        np.testing.assert_allclose(verts[1], [1, 0, 0])
+
+    def test_export_with_link_meshes(self, tmp_path):
+        """A link with a mesh file replaces its cylinder and is posed in
+        the link's world frame."""
+        from graphik_tpu.graphs.problem import ProblemStructure
+        from graphik_tpu.robots import kinematics
+        from graphik_tpu.robots.library import load_ur10
+        from graphik_tpu.utils import visualization as viz
+
+        tpl, _ = load_ur10()
+        ps = ProblemStructure.from_template(tpl)
+        mesh = tmp_path / "cube.obj"
+        self._write_cube_obj(mesh)
+        out = tmp_path / "scene.obj"
+        q = np.zeros(6)
+        viz.export_scene_obj(
+            ps, q, str(out), link_meshes={3: str(mesh)}
+        )
+        text = open(out).read()
+        assert "_mesh" in text
+        # the mesh's first vertex (local origin) must land at link 3's
+        # world position
+        T_all = np.asarray(kinematics.all_poses(tpl, q))
+        lines = text.splitlines()
+        start = lines.index(
+            next(l for l in lines if l.startswith("o ") and "_mesh" in l)
+        )
+        first_v = next(
+            l for l in lines[start:] if l.startswith("v ")
+        ).split()[1:]
+        np.testing.assert_allclose(
+            [float(x) for x in first_v], T_all[3, :3, 3], atol=1e-5
+        )

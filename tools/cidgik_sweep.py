@@ -53,12 +53,42 @@ def main():
     # point, sdp_formulations.py:9-43).
     params = CidgikParams(admm_iters=1600, max_outer=16, rel_tol=1e-5,
                           eigh_sweeps=20)
+
+    def feasible_goals(ps, key, n):
+        """FK-certified goals whose generating configuration clears the
+        obstacles (rejection sampling; the reference's obstacle
+        experiments use feasible targets the same way)."""
+        got_T = []
+        k = key
+        while sum(len(t) for t in got_T) < n:
+            k, sub = jax.random.split(k)
+            T, q = api.random_goals(ps, sub, (2 * n,))
+            _, ok = jax.vmap(
+                lambda qi: ps.check_distance_limits(ps.realization(qi))
+            )(q)
+            got_T.append(np.asarray(T)[np.asarray(ok)])
+        return jnp.asarray(np.concatenate(got_T, axis=0)[:n])
+
     results = {}
     for name in args.robots.split(","):
-        ps = getattr(library, f"load_{name}" if name != "lwa4d"
-                     else "load_schunk_lwa4d")()[1]
-        T_goal, _ = api.random_goals(ps, jax.random.PRNGKey(42), (args.goals,))
-        T_goal = jnp.asarray(T_goal)
+        if name.endswith("_table"):
+            from graphik_tpu.graphs.problem import ProblemStructure
+            from graphik_tpu.utils.environments import table_environment
+
+            base = name[:-len("_table")]
+            tpl = getattr(library, f"load_{base}" if base != "lwa4d"
+                          else "load_schunk_lwa4d")()[0]
+            ps = ProblemStructure.from_template(
+                tpl, obstacles=table_environment()
+            )
+            T_goal = feasible_goals(ps, jax.random.PRNGKey(42), args.goals)
+        else:
+            ps = getattr(library, f"load_{name}" if name != "lwa4d"
+                         else "load_schunk_lwa4d")()[1]
+            T_goal, _ = api.random_goals(
+                ps, jax.random.PRNGKey(42), (args.goals,)
+            )
+            T_goal = jnp.asarray(T_goal)
 
         for mode in (["dense", "sparse"] if args.sparse else ["dense"]):
             t0 = time.perf_counter()
@@ -74,6 +104,10 @@ def main():
             e_rot = np.asarray(e_rot)
             hit = (e_pos < 1e-2) & (e_rot < 1e-2)
             feas = np.asarray(out["status"]) == cd.FEASIBLE
+            _, clear = jax.vmap(
+                lambda qi: ps.check_distance_limits(ps.realization(qi))
+            )(out["q"])
+            clear = np.asarray(clear)
             key = f"{name}_{mode}"
             results[key] = {
                 "goals": args.goals,
@@ -82,6 +116,7 @@ def main():
                     float(((e_pos < 1e-3) & (e_rot < np.pi / 180)).mean()), 4
                 ),
                 "feasible_rate": round(float(feas.mean()), 4),
+                "clear_rate": round(float(clear.mean()), 4),
                 "median_pos_err": float(np.median(e_pos)),
                 "median_eig_sum": float(np.median(np.asarray(out["eig_sum"]))),
                 "wall_s": round(wall, 1),
