@@ -193,11 +193,12 @@ def main():
 
         cfg_params = params
         if name == "ur10_table":
-            # Obstacle scenes need a deeper single-shot budget to hold the
-            # >=0.95 success ratio vs the f64 denominator: round-3 sweep
-            # found (400, 32) at ratio 0.952 / 2.6k solves/s, where
-            # (200, 24) sits at 0.93.
-            cfg_params = TRParams(maxiter=400, maxinner=32)
+            # Obstacle scenes need a deeper single-shot budget than the
+            # plain configs; with the round-4 subspace init, (250, 32)
+            # holds ratio 1.038 vs the f64 denominator 0.765 at ~4.8k
+            # solves/s (the round-3 (400, 32) point is 29% slower at
+            # ratio 1.045 - no longer the efficient frontier).
+            cfg_params = TRParams(maxiter=250, maxinner=32)
         if restarts:
             rsolver = make_restart_solver(
                 ps, n_restarts=restarts, params=cfg_params,
@@ -255,12 +256,13 @@ def main():
         from graphik_tpu.solvers import cidgik as cd
         from graphik_tpu.solvers.cidgik import CidgikParams
 
-        # Newton-Schulz cone projection (round 4): ~12x the Jacobi-eigh
-        # ADMM at equal polished accuracy, and 6x faster compiles; the
-        # split static/dynamic engine carries the obstacle scenes.
+        # Newton-Schulz cone projection + warm-started (long, short) outer
+        # schedule (round 4): 14.1 -> 214 solves/s vs round 3 at BETTER
+        # polished accuracy (0.848 vs 0.844 @1mm) and 6x faster compiles;
+        # the split static/dynamic engine carries the obstacle scenes.
         if cparams is None:
-            cparams = CidgikParams(admm_iters=800, max_outer=8,
-                                   cone_ns_iters=14)
+            cparams = CidgikParams(admm_iters=800, admm_iters_rest=400,
+                                   max_outer=10, cone_ns_iters=16)
         if sparse:
             from graphik_tpu.solvers import cidgik_sparse as cds
 
@@ -332,9 +334,9 @@ def main():
     # ur10_cidgik_sparse is the clique-decomposed path.
     all_configs = [
         "ur10", "ur10_table", "ur10_cidgik", "ur10_table_cidgik",
-        "kuka_iiwa", "lwa4d", "planar6", "planar10", "ur10_restarts4",
-        "ur10_table_restarts2", "planar6_restarts2", "planar10_restarts2",
-        "ur10_cidgik_sparse",
+        "ur10_cidgik_sparse", "kuka_iiwa", "lwa4d", "planar6", "planar10",
+        "ur10_restarts4", "ur10_table_restarts2", "planar6_restarts2",
+        "planar10_restarts2",
     ]
     sel = os.environ.get("BENCH_CONFIGS")
     configs = sel.split(",") if sel else all_configs
@@ -367,7 +369,7 @@ def main():
                     # obstacle scene: ~550 constraint rows through the
                     # split engine; warm-started (800, 300) schedule
                     cp = CidgikParams(admm_iters=800, admm_iters_rest=300,
-                                      max_outer=8, cone_ns_iters=14)
+                                      max_outer=8, cone_ns_iters=16)
                     emitter.results[name] = run_cidgik(
                         ps, min(batch, 256), cparams=cp
                     )

@@ -184,3 +184,28 @@ class TestNearestPointSdp:
         np.testing.assert_allclose(
             val, np.sum((X - targets) ** 2), rtol=1e-9
         )
+
+
+class TestIterationSchedule:
+    """Warm-started (long, short) outer schedule (CidgikParams.admm_iters_rest,
+    split engine): a fraction of the cold budget per warm round must land
+    the same basins as the flat schedule."""
+
+    def test_rest_schedule_matches_flat(self, ur10, comp):
+        T_goal, _ = api.random_goals(ur10, jax.random.PRNGKey(3), (3,))
+        flat = cidgik.solve_cidgik(
+            comp, jnp.asarray(T_goal),
+            params=CidgikParams(admm_iters=600, max_outer=6),
+        )
+        sched = cidgik.solve_cidgik(
+            comp, jnp.asarray(T_goal),
+            params=CidgikParams(admm_iters=600, admm_iters_rest=200,
+                                max_outer=6),
+        )
+        e_flat, _ = api.pose_error(ur10, flat["q"], jnp.asarray(T_goal))
+        e_sched, _ = api.pose_error(ur10, sched["q"], jnp.asarray(T_goal))
+        # same basins: scheduled errors within 3x of flat (both ~cm-level
+        # raw ADMM accuracy; the production pipeline polishes either)
+        assert np.all(np.asarray(e_sched) < np.maximum(
+            3.0 * np.asarray(e_flat), 5e-2
+        )), (e_flat, e_sched)

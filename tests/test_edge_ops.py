@@ -135,3 +135,40 @@ def test_solver_edge_backend_matches_dense():
                                np.asarray(out_d["cost"]), rtol=1e-6, atol=1e-9)
     np.testing.assert_allclose(np.asarray(out_e["Y"]), np.asarray(out_d["Y"]),
                                rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.parametrize("make", ["planar", "ur10"])
+def test_residual_max_edge_matches_dense(make):
+    """The feasibility-stop metric (residual_max) agrees between the dense
+    and edge backends on random points."""
+    ps, ep, D_goal, dense_args = _setup(make)
+    rng = np.random.RandomState(3)
+    for _ in range(3):
+        Y = jnp.asarray(rng.randn(ps.N, ps.dim))
+        r_dense = costs.residual_max(Y, *dense_args)
+        dg_e = ep.edge_values(jnp.asarray(D_goal))
+        r_edge = edge.residual_max(ep, Y, dg_e)
+        np.testing.assert_allclose(
+            float(r_dense), float(r_edge), rtol=1e-12
+        )
+
+
+def test_res_tol_stop_reaches_polish_basin():
+    """With res_tol on, lanes stop early yet remain solvable: the stop
+    implies every edge is satisfied to ~res_tol/2 of its length."""
+    from graphik_tpu import api
+    from graphik_tpu.solvers.riemannian import TRParams
+
+    ps = ProblemStructure.from_template(ur10_template())
+    T_goal, _ = api.random_goals(ps, jax.random.PRNGKey(2), (6,))
+    out_stop = api.solve_ik(
+        ps, T_goal, params=TRParams(maxiter=500, res_tol=1e-3)
+    )
+    out_full = api.solve_ik(ps, T_goal, params=TRParams(maxiter=500))
+    it_stop = np.asarray(out_stop["iterations"])
+    it_full = np.asarray(out_full["iterations"])
+    assert it_stop.mean() < it_full.mean()
+    # stopped lanes still end at sub-cm pose error (inside the GN basin)
+    stopped = it_stop < it_full
+    if stopped.any():
+        assert np.median(np.asarray(out_stop["e_pos"])[stopped]) < 1e-2

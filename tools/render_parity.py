@@ -105,19 +105,33 @@ def main():
                 f"{b.get('effective_solves_per_sec', '—')} |"
             )
 
-    if bench and "ur10_cidgik" in bench and "error" not in bench["ur10_cidgik"]:
-        c = bench["ur10_cidgik"]
+    cid_cfgs = [
+        c for c in (bench or {})
+        if "_cidgik" in c and "error" not in bench[c]
+        and "skipped_budget" not in bench[c]
+    ]
+    if cid_cfgs:
         lines += [
             "",
             "## CIDGIK on TPU f32 (ADMM + GN polish, the production pipeline)",
             "",
-            "| config | raw ADMM @1cm | polished @1cm | polished @1mm | solves/s |",
-            "|---|---|---|---|---|",
-            f"| ur10_cidgik | {c.get('raw_admm_rate_1cm', float('nan')):.3f} | "
-            f"{c.get('success_rate_1cm', float('nan')):.3f} | "
-            f"{c.get('success_rate_1mm', float('nan')):.3f} | "
-            f"{c.get('throughput_solves_per_sec', '—')} |",
+            "@1mm is pose-only (round-3-comparable); \"+feas\" additionally "
+            "demands limit/obstacle feasibility of the polished q.",
+            "",
+            "| config | raw ADMM @1cm | polished @1cm | @1mm | @1mm+feas | median eig-sum | solves/s |",
+            "|---|---|---|---|---|---|---|",
         ]
+        for cfg in cid_cfgs:
+            c = bench[cfg]
+            eig = c.get("median_eig_sum")
+            eig_s = f"{eig:.1e}" if eig is not None else "—"
+            lines.append(
+                f"| {cfg} | {c.get('raw_admm_rate_1cm', float('nan')):.3f} | "
+                f"{c.get('success_rate_1cm', float('nan')):.3f} | "
+                f"{c.get('success_rate_1mm', float('nan')):.3f} | "
+                f"{c.get('success_rate_1mm_feasible', float('nan')):.3f} | "
+                f"{eig_s} | {c.get('throughput_solves_per_sec', '—')} |"
+            )
 
     if os.path.exists(args.sweep):
         with open(args.sweep) as f:
@@ -130,11 +144,20 @@ def main():
             "| config | n | success @1cm | success @1mm | feasible | median eig-sum |",
             "|---|---|---|---|---|---|",
         ]
+        # merge the obstacle-scene oracle sweep when present
+        obs_path = os.path.join(os.path.dirname(args.sweep) or ".",
+                                "CIDGIK_OBS_SWEEP.json")
+        if os.path.exists(obs_path):
+            with open(obs_path) as f:
+                sweep.update(json.load(f))
         for name, r in sweep.items():
+            clear = r.get("clear_rate")
+            clear_s = f" clear {clear:.3f}" if clear is not None else ""
             lines.append(
                 f"| {name} | {r.get('goals', '—')} | "
                 f"{r['success_rate_1cm']:.3f} | "
-                f"{r['success_rate_1mm']:.3f} | {r['feasible_rate']:.3f} | "
+                f"{r['success_rate_1mm']:.3f} | "
+                f"{r['feasible_rate']:.3f}{clear_s} | "
                 f"{r['median_eig_sum']:.2e} |"
             )
 
