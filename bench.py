@@ -288,12 +288,15 @@ def main():
 
         @jax.jit
         def stage_finish(q0, Tg):
-            e_pos0, e_rot0 = api.pose_error(ps, q0, Tg)
-            viol, ok = ps.check_distance_limits(ps.realization(q0))
-            q, e_pos, e_rot, viol, ok = api.polish_solution(
-                ps, q0, Tg, e_pos0, e_rot0, viol, ok
-            )
-            return e_pos0, e_rot0, e_pos, e_rot, ok
+            # highest precision: bf16 FK noise in the validation path
+            # misclassifies feasible solutions (see api.polish_solution)
+            with jax.default_matmul_precision("highest"):
+                e_pos0, e_rot0 = api.pose_error(ps, q0, Tg)
+                viol, ok = ps.check_distance_limits(ps.realization(q0))
+                q, e_pos, e_rot, viol, ok = api.polish_solution(
+                    ps, q0, Tg, e_pos0, e_rot0, viol, ok
+                )
+                return e_pos0, e_rot0, e_pos, e_rot, ok
 
         def solver(Tg):
             q0, eig, feas = stage_admm(Tg)

@@ -23,7 +23,11 @@ def main(batch=16, seed=0):
     comp = compile_cidgik(graph)
 
     T_goal, q_goal = api.random_goals(graph, jax.random.PRNGKey(seed), (batch,))
-    out = solve_cidgik(comp, jnp.asarray(T_goal), params=CidgikParams())
+    # production config: Newton-Schulz cone projection + warm-started
+    # (long, short) convex-iteration schedule (see bench.py)
+    out = solve_cidgik(comp, jnp.asarray(T_goal), params=CidgikParams(
+        admm_iters=800, admm_iters_rest=400, max_outer=10, cone_ns_iters=16
+    ))
 
     e_pos, e_rot = api.pose_error(graph, out["q"], jnp.asarray(T_goal))
     hit = (np.asarray(e_pos) < 1e-2) & (np.asarray(e_rot) < 1e-2)
@@ -33,5 +37,48 @@ def main(batch=16, seed=0):
     print("feasible:", int(np.sum(np.asarray(out["status"]) == 0)), "/", batch)
 
 
+def main_obstacles(batch=8, seed=0):
+    """UR10 over the table environment (the reference example's scene):
+    obstacle inequalities enter as LMI rows of the SDP relaxation
+    (sdp_snl.py:356-398 analogue) through the split ADMM engine."""
+    from graphik_tpu.graphs.problem import ProblemStructure
+    from graphik_tpu.robots import kinematics
+    from graphik_tpu.utils.environments import table_environment
+
+    tpl, _ = load_ur10()
+    graph = ProblemStructure.from_template(
+        tpl, obstacles=table_environment()
+    )
+    comp = compile_cidgik(graph)
+
+    # feasible goals: FK of configurations that clear the table
+    rng = np.random.RandomState(seed)
+    goals = []
+    while len(goals) < batch:
+        q = rng.uniform(-np.pi, np.pi, graph.n)
+        _, ok = graph.check_distance_limits(graph.realization(jnp.asarray(q)))
+        if bool(ok):
+            goals.append(np.asarray(kinematics.pose(tpl, jnp.asarray(q), graph.n)))
+    T_goal = jnp.asarray(np.stack(goals))
+
+    out = solve_cidgik(comp, T_goal, params=CidgikParams(
+        admm_iters=800, admm_iters_rest=300, max_outer=8, cone_ns_iters=16
+    ))
+    # production pipeline: GN polish drives the ~cm ADMM basin to machine
+    # precision while keeping obstacle clearance (api.polish_solution)
+    with jax.default_matmul_precision("highest"):
+        e_pos0, e_rot0 = api.pose_error(graph, out["q"], T_goal)
+        viol, ok = jax.vmap(
+            lambda qi: graph.check_distance_limits(graph.realization(qi))
+        )(out["q"])
+        q, e_pos, e_rot, viol, ok = api.polish_solution(
+            graph, out["q"], T_goal, e_pos0, e_rot0, viol, ok
+        )
+    hit = (np.asarray(e_pos) < 1e-3) & (np.asarray(e_rot) < np.pi / 180)
+    print("obstacle scene polished success (@1mm):", hit.mean())
+    print("obstacle clearance:", np.asarray(ok).mean())
+
+
 if __name__ == "__main__":
     main()
+    main_obstacles()

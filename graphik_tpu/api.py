@@ -234,13 +234,19 @@ def polish_solution(
     Returns (q, e_pos, e_rot, max_viol, limits_ok) with per-instance
     selection between the input and polished solutions.
     """
-    pp = params or LocalParams(maxiter=30, tol_grad=1e-8)
-    pol = local_solver.solve_local(structure, T_goal, q, pp)
-    q_p = pol["q"]
-    viol_p, ok_p = structure.check_distance_limits(
-        structure.realization(q_p), tol=limit_tol
-    )
-    e_pos_p, e_rot_p = pose_error(structure, q_p, T_goal)
+    # Pin f32 matmul passes: callers outside a highest-precision scope
+    # (e.g. a bare jit around a CIDGIK finish stage) would otherwise run
+    # the FK/validation matmuls at bf16, where the distance-limit check
+    # misclassifies ~6% of perfectly feasible solutions as violating (by
+    # ~1e-3 - pure bf16 FK noise; exact in f64).
+    with jax.default_matmul_precision("highest"):
+        pp = params or LocalParams(maxiter=30, tol_grad=1e-8)
+        pol = local_solver.solve_local(structure, T_goal, q, pp)
+        q_p = pol["q"]
+        viol_p, ok_p = structure.check_distance_limits(
+            structure.realization(q_p), tol=limit_tol
+        )
+        e_pos_p, e_rot_p = pose_error(structure, q_p, T_goal)
     big = jnp.asarray(1e3, e_pos.dtype)
     score0 = e_pos + e_rot + jnp.where(limits_ok, 0.0, big)
     score1 = e_pos_p + e_rot_p + jnp.where(ok_p, 0.0, big)

@@ -23,7 +23,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--goals", type=int, default=256)
     ap.add_argument("--robots", type=str, default="ur10,lwa4d")
-    ap.add_argument("--sparse", action="store_true", default=True)
+    ap.add_argument("--modes", type=str, default="dense,sparse",
+                    help="comma list: dense,sparse")
     ap.add_argument("--out", type=str, default="CIDGIK_SWEEP.json")
     args = ap.parse_args()
 
@@ -90,7 +91,7 @@ def main():
             )
             T_goal = jnp.asarray(T_goal)
 
-        for mode in (["dense", "sparse"] if args.sparse else ["dense"]):
+        for mode in args.modes.split(","):
             t0 = time.perf_counter()
             if mode == "dense":
                 comp = cd.compile_cidgik(ps)
