@@ -199,15 +199,19 @@ def main():
             # solves/s (the round-3 (400, 32) point is 29% slower at
             # ratio 1.045 - no longer the efficient frontier).
             cfg_params = TRParams(maxiter=250, maxinner=32)
+        # smooth_iters=2: partial bound-smoothing closure (paths of <= 4
+        # edges) measures identical success at -6% wall on the near-
+        # complete 16-node bounds graph (round-4 sweep).
         if restarts:
             rsolver = make_restart_solver(
                 ps, n_restarts=restarts, params=cfg_params,
-                polish_params=polish_params,
+                polish_params=polish_params, smooth_iters=2,
             )
             solver = lambda Tg, k=jax.random.PRNGKey(7): rsolver(Tg, k)
         else:
             solver = api.make_solver(
-                ps, params=cfg_params, polish_params=polish_params
+                ps, params=cfg_params, polish_params=polish_params,
+                smooth_iters=2,
             )
 
         t0 = time.perf_counter()

@@ -83,6 +83,7 @@ def solve_ik(
     limit_tol: float = 1e-6,
     polish: bool = True,
     polish_params: Optional[LocalParams] = None,
+    smooth_iters: Optional[int] = None,
 ):
     """Solve batched IK instances with the Riemannian solver.
 
@@ -103,16 +104,17 @@ def solve_ik(
     with jax.default_matmul_precision("highest"):
         return _solve_ik_impl(
             structure, T_goal, params, use_limits, Y_init, dtype, limit_tol,
-            polish, polish_params,
+            polish, polish_params, smooth_iters,
         )
 
 
 def _solve_ik_impl(structure, T_goal, params, use_limits, Y_init, dtype, limit_tol,
-                   polish, polish_params):
+                   polish, polish_params, smooth_iters=None):
     spec = structure.reduced_spec()
     Nr = spec["Nr"] if (spec is not None and Y_init is None) else None
     inst = structure.instance(
-        T_goal, dtype=dtype, smooth=Y_init is None, n_nodes=Nr
+        T_goal, dtype=dtype, smooth=Y_init is None, n_nodes=Nr,
+        smooth_iters=smooth_iters,
     )
     omega_np, psi_L, psi_U = structure.masks()
     dim = structure.dim
@@ -278,6 +280,7 @@ def make_solver(
     limit_tol: float = 1e-6,
     polish: bool = True,
     polish_params: Optional[LocalParams] = None,
+    smooth_iters: Optional[int] = None,
 ):
     """Stage-jitted solver: same result as solve_ik_jit, far cheaper compile.
 
@@ -301,7 +304,8 @@ def make_solver(
             # cubically with node count, so obstacle-constant nodes are
             # excluded here (they re-enter as solver hinges + validation).
             inst = structure.instance(
-                T_goal, dtype=dtype, smooth=True, n_nodes=Nr
+                T_goal, dtype=dtype, smooth=True, n_nodes=Nr,
+                smooth_iters=smooth_iters,
             )
             Y0 = riemannian.generate_initialization(
                 inst["lb"], inst["ub"], jnp.asarray(omega_prep), dim

@@ -333,8 +333,9 @@ class ProblemStructure:
         return pos
 
     @partial(jax.jit, static_argnums=0,
-             static_argnames=("dtype", "smooth", "n_nodes"))
-    def instance(self, T_goal, dtype=None, smooth=True, n_nodes=None):
+             static_argnames=("dtype", "smooth", "n_nodes", "smooth_iters"))
+    def instance(self, T_goal, dtype=None, smooth=True, n_nodes=None,
+                 smooth_iters=None):
         """Assemble per-goal solver inputs (batched, jittable).
 
         Returns dict with:
@@ -398,10 +399,11 @@ class ProblemStructure:
                     (obs_pos[:, None, :] - obs_pos[None, :, :]) ** 2, axis=-1
                 ), 0.0))
                 lb, ub = dgp.bound_smoothing_anchored(
-                    L, U, mask, U_ro, L_ro, D_oo
+                    L, U, mask, U_ro, L_ro, D_oo, n_iter=smooth_iters
                 )
             else:
-                lb, ub = dgp.bound_smoothing(L, U, mask)
+                lb, ub = dgp.bound_smoothing(L, U, mask,
+                                             n_iter=smooth_iters)
             out["lb"], out["ub"] = lb, ub
         return out
 

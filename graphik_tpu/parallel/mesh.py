@@ -200,6 +200,7 @@ def make_restart_solver(
     dtype=None,
     polish: bool = True,
     polish_params=None,
+    smooth_iters=None,
 ):
     """Stage-jitted multi-restart solver (mirrors api.make_solver).
 
@@ -218,7 +219,8 @@ def make_restart_solver(
     def stage_prepare(T_goal, key):
         with jax.default_matmul_precision("highest"):
             inst = structure.instance(
-                T_goal, dtype=dtype, smooth=True, n_nodes=Nr
+                T_goal, dtype=dtype, smooth=True, n_nodes=Nr,
+                smooth_iters=smooth_iters,
             )
             omega = jnp.asarray(omega_prep)
             keys = jax.random.split(key, R)

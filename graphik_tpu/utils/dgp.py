@@ -147,7 +147,7 @@ def _minplus_closure(A, n_iter):
     return jax.lax.fori_loop(0, n_iter, body, A)
 
 
-def bound_smoothing(L, U, edge_mask):
+def bound_smoothing(L, U, edge_mask, n_iter=None):
     """Propagate distance bounds through the doubled (bipartite) graph.
 
     Batched equivalent of `bound_smoothing` (dgp.py:192-231, after Havel
@@ -184,7 +184,13 @@ def bound_smoothing(L, U, edge_mask):
 
     import math
 
-    n_iter = max(1, math.ceil(math.log2(n)) + 1)
+    if n_iter is None:
+        n_iter = max(1, math.ceil(math.log2(n)) + 1)
+    # Partial closures (smaller n_iter) remain VALID bounds: every closure
+    # iterate upper-bounds the true shortest path (monotone decreasing),
+    # so ub stays an upper bound and lb = max(0, -cross) a lower bound -
+    # just looser. The init only samples inside the bounds, so production
+    # configs may trade closure depth for wall time.
     Astar = _minplus_closure(A, n_iter)
     cross = _minplus(_minplus(Astar, B), Astar)
 
@@ -195,7 +201,8 @@ def bound_smoothing(L, U, edge_mask):
     return lb, ub
 
 
-def bound_smoothing_anchored(L, U, edge_mask, U_ro, L_ro, D_oo):
+def bound_smoothing_anchored(L, U, edge_mask, U_ro, L_ro, D_oo,
+                             n_iter=None):
     """Bound smoothing with fixed-position side nodes folded in closed form.
 
     Equivalent to `bound_smoothing` on the (M + no)-node graph containing
@@ -239,7 +246,8 @@ def bound_smoothing_anchored(L, U, edge_mask, U_ro, L_ro, D_oo):
 
     import math
 
-    n_iter = max(1, math.ceil(math.log2(n)) + 1)
+    if n_iter is None:
+        n_iter = max(1, math.ceil(math.log2(n)) + 1)
     Astar = _minplus_closure(A, n_iter)
     cross = _minplus(_minplus(Astar, B), Astar)
 
