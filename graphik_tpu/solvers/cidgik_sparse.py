@@ -372,15 +372,27 @@ def _solve_sdp_admm_blocks(A_eq, b_eq, A_in, lo, hi, C, Z0, t0, U0, params,
     Gmm = Gmm + 1e-9 * jnp.trace(Gmm) / Gmm.shape[0] * jnp.eye(
         Gmm.shape[0], dtype=Gmm.dtype
     )
-    chol = jax.scipy.linalg.cho_factor(Gmm)
+    # Inverse Cholesky factor applied as matmuls: XLA's cho_solve lowers to
+    # sequential triangular solves on TPU, which dominated the whole sparse
+    # ADMM (10x the dense engine's per-lane iteration cost) - and its
+    # internal matmuls run at bf16 on f32 inputs. spd_inverse_factor is
+    # the bf16-safe matmul path the dense engine uses (ops/linalg.py).
+    Linv = spd_inverse_factor(Gmm)
+    hp = jax.lax.Precision.HIGHEST
 
     def apply_A(A, Z):
         return jnp.einsum("mkij,kij->m", A, Z)
 
+    def apply_inv(v):
+        z = jnp.einsum("ij,j->i", Linv, v, precision=hp)
+        return jnp.einsum("ji,j->i", Linv, z, precision=hp)
+
     def solve_gram(r):
-        y = jax.scipy.linalg.cho_solve(chol, r)
+        y = apply_inv(r)
         for _ in range(params.refine_steps):
-            y = y + jax.scipy.linalg.cho_solve(chol, r - Gmm @ y)
+            y = y + apply_inv(r - jnp.einsum(
+                "ij,j->i", Gmm, y, precision=hp
+            ))
         return y
 
     def affine_project(Z, t):
