@@ -384,7 +384,7 @@ def main():
         try:
             if name.endswith("_cidgik_sparse"):
                 emitter.results[name] = run_cidgik(
-                    ps, min(batch, 64), sparse=True
+                    ps, min(batch, 256), sparse=True
                 )
             elif name.endswith("_cidgik"):
                 from graphik_tpu.solvers.cidgik import CidgikParams
