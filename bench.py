@@ -111,12 +111,12 @@ def main():
     # Batch 4096 amortizes the fixed prepare/finish stage cost that dominates
     # at 1024 (8192 is already past the knee). Round-4 operating point:
     # the subspace-iteration MDS init cut the fixed stage cost ~5x, moving
-    # the effective-throughput optimum from maxiter 150 to 120 (ur10
-    # success 0.876, ratio 0.988 vs the n=1000 f64 denominator 0.887, at
-    # ~19-20k successful solves/s/chip; 150 buys +0.6% success for -13%
-    # effective throughput).
+    # the effective-throughput optimum from maxiter 150 to 100 (ur10
+    # success 0.874, ratio 0.985 vs the n=1000 f64 denominator 0.887, at
+    # ~21.4k successful solves/s/chip; 120 buys +0.3% success for -5%
+    # effective throughput, 150 +0.6% for -13%).
     batch = int(os.environ.get("BENCH_BATCH", "4096"))
-    maxiter = int(os.environ.get("BENCH_MAXITER", "120"))
+    maxiter = int(os.environ.get("BENCH_MAXITER", "100"))
     # tCG budget 24: success within 0.3% of 48 at +45% throughput.
     maxinner = int(os.environ.get("BENCH_MAXINNER", "24"))
     # GN polish budget 10: quadratic convergence needs ~4 accepted steps
