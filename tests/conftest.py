@@ -18,12 +18,27 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
+
+from graphik_tpu.utils.cache import ensure_cache_dir
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
-# x64 CPU compiles are slow in this environment; cache compiled programs
-# across test runs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/graphik_tpu_jax_cache")
+# x64 CPU compiles are slow in this environment; READ cached programs
+# across test runs. The cache dir is stamped with the host CPU signature
+# and wiped on mismatch: stale AOT CPU code from a migrated VM loads with
+# only a warning and then SEGFAULTS (observed round 4).
+#
+# Cache WRITES are disabled in the test process: after ~100+ tests of
+# accumulated compilations in one process, XLA:CPU executable
+# serialization (compilation_cache.put_executable_and_time) segfaults
+# deterministically on this jaxlib/host combination - reads are
+# unaffected. Warm the cache (when wanted) by running the suite in
+# per-file processes: pytest tests/test_x.py, or any tool/bench run.
+jax.config.update("jax_compilation_cache_dir", ensure_cache_dir())
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
