@@ -99,6 +99,16 @@ def main():
 
     from graphik_tpu.utils.cache import ensure_cache_dir
 
+    # zstandard's compress/decompress paths segfault after enough
+    # accumulated compilations in one process on this jaxlib/host combo
+    # (see tests/conftest.py); unbind it so the cache uses zlib.
+    try:
+        from jax._src import compilation_cache as _cc
+
+        _cc.zstandard = None
+    except Exception:
+        pass
+
     # host-ISA-stamped cache: a VM migration leaves stale AOT CPU code
     # that SEGFAULTS when loaded (utils/cache.py) - wipe on mismatch.
     jax.config.update("jax_compilation_cache_dir", ensure_cache_dir())

@@ -26,6 +26,22 @@ import jax
 
 from graphik_tpu.utils.cache import ensure_cache_dir
 
+# Unbind the zstandard C backend from jax's persistent compilation cache:
+# both its compress (write) and decompress (read) paths segfault after
+# ~100+ tests of accumulated compilations in one process on this
+# jaxlib/host combination (observed round 4: identical deterministic
+# crash position, first in put_executable_and_time, then - with writes
+# disabled - in get_executable_and_time). jax falls back to zlib, which
+# is stable. A sys.modules block would be too late: the sandbox's
+# sitecustomize imports jax at interpreter startup, binding the real
+# module before any test code runs.
+try:
+    from jax._src import compilation_cache as _cc
+
+    _cc.zstandard = None
+except Exception:
+    pass
+
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # x64 CPU compiles are slow in this environment; READ cached programs
@@ -33,12 +49,6 @@ jax.config.update("jax_enable_x64", True)
 # and wiped on mismatch: stale AOT CPU code from a migrated VM loads with
 # only a warning and then SEGFAULTS (observed round 4).
 #
-# Cache WRITES are disabled in the test process: after ~100+ tests of
-# accumulated compilations in one process, XLA:CPU executable
-# serialization (compilation_cache.put_executable_and_time) segfaults
-# deterministically on this jaxlib/host combination - reads are
-# unaffected. Warm the cache (when wanted) by running the suite in
-# per-file processes: pytest tests/test_x.py, or any tool/bench run.
 jax.config.update("jax_compilation_cache_dir", ensure_cache_dir())
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
