@@ -24,31 +24,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-from graphik_tpu.utils.cache import ensure_cache_dir
-
-# Unbind the zstandard C backend from jax's persistent compilation cache:
-# both its compress (write) and decompress (read) paths segfault after
-# ~100+ tests of accumulated compilations in one process on this
-# jaxlib/host combination (observed round 4: identical deterministic
-# crash position, first in put_executable_and_time, then - with writes
-# disabled - in get_executable_and_time). jax falls back to zlib, which
-# is stable. A sys.modules block would be too late: the sandbox's
-# sitecustomize imports jax at interpreter startup, binding the real
-# module before any test code runs.
-try:
-    from jax._src import compilation_cache as _cc
-
-    _cc.zstandard = None
-except Exception:
-    pass
-
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
-# x64 CPU compiles are slow in this environment; READ cached programs
-# across test runs. The cache dir is stamped with the host CPU signature
-# and wiped on mismatch: stale AOT CPU code from a migrated VM loads with
-# only a warning and then SEGFAULTS (observed round 4).
-#
-jax.config.update("jax_compilation_cache_dir", ensure_cache_dir())
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+# The persistent compilation cache is DISABLED for the test process.
+# XLA:CPU's executable serialize()/deserialize() segfault
+# deterministically after ~100+ accumulated compilations in one process
+# on this jaxlib/host combination (observed round 4 at an identical crash
+# position across runs: put_executable_and_time with writes enabled,
+# get_executable_and_time with writes disabled, with or without the
+# zstandard backend). The in-memory jit cache still covers repeated
+# shapes within the run; TPU-side consumers (bench.py) keep the
+# persistent cache - their executables serialize through the TPU plugin
+# path, which has never shown the crash.
+jax.config.update("jax_enable_compilation_cache", False)
