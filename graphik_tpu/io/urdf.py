@@ -191,13 +191,25 @@ class UrdfModel:
         return order, T
 
     def template(
-        self, lb=None, ub=None, use_urdf_limits: bool = False
+        self, lb=None, ub=None, use_urdf_limits: bool = False,
+        randomized_links: bool = False, randomize_percentage: float = 0.4,
+        rng=None,
     ) -> RobotTemplate:
         """Compile to a RobotTemplate (make_Revolute3d, roboturdf.py:226-264).
 
         Default limits are +-pi per joint (the reference loaders',
         roboturdf.py:299-371); `use_urdf_limits` clips the URDF's own limits
         to +-pi (roboturdf.py:192-204).
+
+        randomized_links (roboturdf.py:255-259): scale each parent->child
+        frame's delta TRANSLATION by an independent uniform factor in
+        [1 - p, 1 + p] (p = randomize_percentage), zeroing sub-1e-6
+        components, then recompose the zero-configuration frames - a
+        perturbed-kinematics robot for robustness experiments. The
+        reference walks consecutive list entries; we walk the parent tree,
+        which is identical on chains (all the reference URDF robots) and
+        correct on trees. `rng` is a np.random.Generator/RandomState
+        (default: np.random, matching the reference's global-state use).
         """
         order, T = self.t_zero()
         n_nodes = len(order)
@@ -214,6 +226,30 @@ class UrdfModel:
         # base-relative frames (roboturdf.py:250-253)
         T0 = np.stack([T[j.name] for j in order])
         T0 = np.linalg.inv(T0[0])[None] @ T0
+
+        if randomized_links:
+            if rng is None:
+                rng = np.random
+            T_mod = T0.copy()
+            # parent-before-child order (URDF joint lists are usually
+            # already topological; sorting by depth makes it certain)
+            def depth(i):
+                k = 0
+                while parents[i] >= 0:
+                    i = int(parents[i])
+                    k += 1
+                return k
+            for i in sorted(range(1, n_nodes), key=depth):
+                par = int(parents[i])
+                T_delta = np.linalg.inv(T0[par]) @ T0[i]
+                scale = (1.0 - randomize_percentage) \
+                    + 2.0 * randomize_percentage * rng.uniform()
+                t_delta = T_delta[:3, 3] * scale
+                t_delta[np.abs(t_delta) < 1e-6] = 0.0
+                T_delta = T_delta.copy()
+                T_delta[:3, 3] = t_delta
+                T_mod[i] = T_mod[par] @ T_delta
+            T0 = T_mod
 
         if lb is None:
             if use_urdf_limits:

@@ -72,7 +72,14 @@ def initialize(
             local_device_ids=local_device_ids,
         )
     except RuntimeError as exc:  # already-initialized on older jax
-        if "already initialized" not in str(exc).lower():
+        # jax has raised both "already initialized" and "distributed.initialize
+        # should only be called once." across versions; treat either as the
+        # documented no-op re-entry.
+        msg = str(exc).lower()
+        if (
+            "already initialized" not in msg
+            and "only be called once" not in msg
+        ):
             raise
 
 
@@ -97,7 +104,16 @@ def shard_local_batch(x_local, mesh: Mesh, axis_name: str = "batch"):
     )
 
 
+# Memoized jit(shard_map(...)) runners, keyed on (id(structure), mesh,
+# params, ...). Keying on id() is safe from id-reuse collisions ONLY
+# because each cached closure captures `structure` and keeps it alive for
+# as long as its entry exists - an invariant the eviction below must
+# preserve (evict the closure and the structure goes with it). The cache
+# is bounded (FIFO, insertion order) so long-running multi-robot processes
+# do not accumulate executables + structures without limit; 16 distinct
+# (structure, mesh, params) combinations is far above any workload seen.
 _RUNNER_CACHE = {}
+_RUNNER_CACHE_MAX = 16
 
 
 def solve_ik_global(
@@ -182,6 +198,8 @@ def solve_ik_global(
             check_vma=False,  # see mesh.solve_ik_sharded
         ))
         if cache_key is not None:
+            while len(_RUNNER_CACHE) >= _RUNNER_CACHE_MAX:
+                _RUNNER_CACHE.pop(next(iter(_RUNNER_CACHE)))
             _RUNNER_CACHE[cache_key] = run
     out, metrics = run(T_goal)
     # metrics are fully replicated scalars - addressable everywhere

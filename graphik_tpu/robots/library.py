@@ -39,17 +39,20 @@ def model_from_spec(name: str) -> UrdfModel:
     return UrdfModel(name=spec["name"], joints=joints, links=spec["links"])
 
 
-def _load(name: str, limits=None) -> Tuple[RobotTemplate, ProblemStructure]:
+def _load(name: str, limits=None, **kw) -> Tuple[RobotTemplate, ProblemStructure]:
+    """kw passes through to UrdfModel.template (e.g. randomized_links=True,
+    randomize_percentage, rng - the reference's perturbed-robot experiments,
+    roboturdf.py:255-259)."""
     model = model_from_spec(name)
     if limits is None:
-        tpl = model.template()
+        tpl = model.template(**kw)
     else:
-        tpl = model.template(lb=limits[0], ub=limits[1])
+        tpl = model.template(lb=limits[0], ub=limits[1], **kw)
     return tpl, ProblemStructure.from_template(tpl)
 
 
-def load_ur10(limits=None):
-    return _load("ur10_mod", limits)
+def load_ur10(limits=None, **kw):
+    return _load("ur10_mod", limits, **kw)
 
 
 def load_kuka(limits=None):

@@ -74,6 +74,19 @@ class CidgikCompiled:
     in_fa_lo: np.ndarray
     in_fa_hi: np.ndarray
 
+    # planar linear constraints n . x_u = c on free nodes (floor_mode;
+    # convex_iteration.py:185-192 + sdp_snl.py add_planar_constraints,
+    # sdp_snl.py:854-871). Empty unless compile_cidgik(floor_mode=True).
+    lin_u: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, np.int64)
+    )  # (m_l,) free slots
+    lin_n: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0, 3))
+    )  # (m_l, d) plane normals
+    lin_c: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )  # (m_l,) offsets
+
     @property
     def d(self) -> int:
         return self.structure.dim
@@ -89,20 +102,29 @@ class CidgikCompiled:
     @property
     def m_eq(self) -> int:
         d = self.d
-        return d * (d + 1) // 2 + len(self.eq_ff) + len(self.eq_fa)
+        return (d * (d + 1) // 2 + len(self.lin_u) + len(self.eq_ff)
+                + len(self.eq_fa))
 
     @property
     def m_in(self) -> int:
         return len(self.in_ff) + len(self.in_fa)
 
 
-def compile_cidgik(ps: ProblemStructure) -> CidgikCompiled:
+def compile_cidgik(
+    ps: ProblemStructure, floor_mode: bool = False
+) -> CidgikCompiled:
     """Host-side constraint assembly (sdp_snl.py:201-398 semantics).
 
     Supports both 3D revolute and planar problems; the planar variant drops
     the q-auxiliary nodes and anchors the end effector plus its predecessor
     (the reference's planar path, sdp_snl.py:854-871 /
     graph_planar.py:136-145).
+
+    floor_mode (convex_iteration.py:185-192): free the base nodes p0/q0
+    from anchoring and constrain them to their canonical horizontal planes
+    instead - linear matrix equalities n . x_u = c with n = e_z
+    (add_planar_constraints, sdp_snl.py:854-871). The base may then slide/
+    yaw on the floor while the goal anchors still pin the end effector.
     """
     dim = ps.dim
 
@@ -114,6 +136,13 @@ def compile_cidgik(ps: ProblemStructure) -> CidgikCompiled:
     for i in sdp_nodes:
         if ps.anchor_mask[i]:
             anchor.add(i)
+    floor_nodes = []
+    if floor_mode:
+        if dim != 3:
+            raise ValueError("floor_mode requires a 3D problem")
+        floor_nodes = [ps.idx_p(0), ps.idx_q(0)]
+        for i in floor_nodes:
+            anchor.discard(i)
     free = [i for i in sdp_nodes if i not in anchor]
     anchor = sorted(anchor)
     free_slot = {node: k for k, node in enumerate(free)}
@@ -165,6 +194,19 @@ def compile_cidgik(ps: ProblemStructure) -> CidgikCompiled:
                     in_fa_lo.append(lo)
                     in_fa_hi.append(hi)
 
+    # floor_mode planar rows: n . x_u = c with c = n . pos_fixed[u] (the
+    # canonical base pose defines each node's plane: z(p0)=0, z(q0)=1 for
+    # the standard templates, matching the reference's hard-coded planes).
+    lin_u, lin_n, lin_c = [], [], []
+    if floor_nodes:
+        pos_fixed = np.asarray(ps.pos_fixed, np.float64)
+        n_vec = np.zeros(dim)
+        n_vec[-1] = 1.0
+        for node in floor_nodes:
+            lin_u.append(free_slot[node])
+            lin_n.append(n_vec.copy())
+            lin_c.append(float(n_vec @ pos_fixed[node, :dim]))
+
     def arr(x, dtype=float):
         return np.asarray(x, dtype=dtype).reshape(len(x), -1) if len(x) else np.zeros((0, 2), dtype=dtype)
 
@@ -183,6 +225,10 @@ def compile_cidgik(ps: ProblemStructure) -> CidgikCompiled:
         in_fa=arr(in_fa, np.int64),
         in_fa_lo=np.asarray(in_fa_lo, dtype=float),
         in_fa_hi=np.asarray(in_fa_hi, dtype=float),
+        lin_u=np.asarray(lin_u, dtype=np.int64),
+        lin_n=(np.asarray(lin_n, dtype=float) if lin_u
+               else np.zeros((0, dim))),
+        lin_c=np.asarray(lin_c, dtype=float),
     )
 
 
@@ -211,6 +257,14 @@ def _constraint_matrices(comp: CidgikCompiled, anchors_pos, dtype):
             A[j, i] += 0.5
             mats.append(A)
             rhs.append(1.0 if i == j else 0.0)
+    # floor_mode planar rows: tr(A Z) = n . x_u = c (sdp_snl.py:854-871)
+    for k in range(len(comp.lin_u)):
+        u = int(comp.lin_u[k])
+        A = np.zeros((s, s))
+        A[d + u, :d] = 0.5 * comp.lin_n[k]
+        A[:d, d + u] = 0.5 * comp.lin_n[k]
+        mats.append(A)
+        rhs.append(float(comp.lin_c[k]))
     A_id = jnp.asarray(np.stack(mats), dtype=dtype)
     b_id = jnp.asarray(np.asarray(rhs), dtype=dtype)
 
@@ -580,6 +634,15 @@ def _build_split_operator(comp: CidgikCompiled) -> _SplitOperator:
             A[j, i] += 0.5
             eq_mats.append(A)
             eq_b.append(1.0 if i == j else 0.0)
+    # floor_mode planar rows are batch-static (plane normal/offset are
+    # compile-time constants): n . x_u = c
+    for k in range(len(comp.lin_u)):
+        u = int(comp.lin_u[k])
+        A = np.zeros((s, s))
+        A[d + u, :d] = 0.5 * comp.lin_n[k]
+        A[:d, d + u] = 0.5 * comp.lin_n[k]
+        eq_mats.append(A)
+        eq_b.append(float(comp.lin_c[k]))
     for k in range(len(comp.eq_ff)):
         u, v = comp.eq_ff[k]
         eq_mats.append(ff_mat(u, v))

@@ -72,9 +72,12 @@ class TRParams:
     # plateau_rtol * cost + plateau_atol over the window. The reference's
     # absolute gradnorm test (trust_region.py:413-422) is unreachable in
     # float32 (mingradnorm 2e-6 almost never fires), so without this every
-    # lane burns the full maxiter budget. 0 disables (reference-faithful
-    # float64 parity runs use that).
-    plateau_every: int = 16
+    # lane burns the full maxiter budget. Default 0 = DISABLED so
+    # TRParams() matches the reference's stopping semantics
+    # (maxiter/gradnorm only); the tuned production preset
+    # (TRParams.production, used by bench.py and the serving examples)
+    # opts into 16 explicitly.
+    plateau_every: int = 0
     plateau_rtol: float = 1e-4
     plateau_atol: float = 0.0
     # Feasibility-aware stop: a lane stops as soon as its max RELATIVE edge
@@ -96,6 +99,20 @@ class TRParams:
     # (ops/tr_pallas.py) - the production hot path (f32; interpret-mode
     # emulation off-TPU).
     backend: str = "pallas"
+
+    @classmethod
+    def production(cls, **overrides) -> "TRParams":
+        """Tuned serving preset: reference-divergent knobs, opted into
+        EXPLICITLY (library defaults stay reference-faithful).
+
+        plateau_every=16: per-lane cost-plateau stop - in float32 the
+        reference's mingradnorm test almost never fires, so without a
+        plateau stop every lane burns the full maxiter budget (the
+        operating point in bench.py layers maxiter/maxinner on top).
+        """
+        base = dict(plateau_every=16)
+        base.update(overrides)
+        return cls(**base)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -122,10 +139,18 @@ class CGParams:
     ls_initial: float = 1.0
     # per-lane cost-plateau stop (see TRParams.plateau_every); CG lanes in
     # float32 stall at the gradient noise floor the same way TR lanes do.
-    plateau_every: int = 16
+    # Default 0 = reference-faithful stopping; production() opts into 16.
+    plateau_every: int = 0
     plateau_rtol: float = 1e-4
     plateau_atol: float = 0.0
     backend: str = "dense"  # "dense" | "edge" cost evaluation
+
+    @classmethod
+    def production(cls, **overrides) -> "CGParams":
+        """Tuned serving preset; see TRParams.production."""
+        base = dict(plateau_every=16)
+        base.update(overrides)
+        return cls(**base)
 
 
 def manifold_proj(Y, Z):

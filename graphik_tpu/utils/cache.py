@@ -45,7 +45,18 @@ def ensure_cache_dir(path: str = DEFAULT_DIR) -> str:
             if f.read().strip() != sig:
                 shutil.rmtree(path, ignore_errors=True)
     except OSError:
-        pass  # no marker yet (fresh dir) - stamp below
+        # No marker. A NON-EMPTY dir without a marker was populated by an
+        # older writer (pre-marker conftest/bench used this same default
+        # path) or by something else entirely; its entries may carry a
+        # different host's ISA - exactly the SIGILL scenario this guard
+        # exists for - and stamping it with the current signature would
+        # make the staleness permanent. Only trust a dir whose marker
+        # matches; wipe anything else before stamping.
+        try:
+            if os.path.isdir(path) and any(os.scandir(path)):
+                shutil.rmtree(path, ignore_errors=True)
+        except OSError:
+            pass
     os.makedirs(path, exist_ok=True)
     if not os.path.exists(marker):
         with open(marker, "w") as f:

@@ -186,7 +186,7 @@ def test_end_to_end_obstacle_solve(scene):
     """Full pipeline with the reduction: solutions avoid the obstacles."""
     T_goal, _ = api.random_goals(scene, jax.random.PRNGKey(3), (8,))
     out = api.solve_ik(
-        scene, jnp.asarray(T_goal), params=TRParams(maxiter=150),
+        scene, jnp.asarray(T_goal), params=TRParams.production(maxiter=150),
         dtype=jnp.float32,
     )
     assert out["Y"].shape == (8, scene.N, 3)
@@ -205,7 +205,7 @@ def test_restart_solver_with_obstacles(scene):
     from graphik_tpu.parallel.mesh import make_restart_solver
 
     solver = make_restart_solver(
-        scene, n_restarts=2, params=TRParams(maxiter=80), dtype=jnp.float32
+        scene, n_restarts=2, params=TRParams.production(maxiter=80), dtype=jnp.float32
     )
     T_goal, _ = api.random_goals(scene, jax.random.PRNGKey(4), (8,))
     out = solver(jnp.asarray(T_goal), jax.random.PRNGKey(0))

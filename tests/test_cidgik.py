@@ -209,3 +209,85 @@ class TestIterationSchedule:
         assert np.all(np.asarray(e_sched) < np.maximum(
             3.0 * np.asarray(e_flat), 5e-2
         )), (e_flat, e_sched)
+
+
+class TestFloorMode:
+    """floor_mode (convex_iteration.py:185-192 + add_planar_constraints,
+    sdp_snl.py:854-871): the base nodes p0/q0 are freed from anchoring and
+    constrained to their canonical horizontal planes (z=0 / z=1) instead,
+    so the base may slide/yaw on the floor while the goal anchors pin the
+    end effector. The reference has no floor_mode test; ours closes the
+    loop through gauge realignment + joint extraction."""
+
+    @pytest.fixture(scope="class")
+    def fcomp(self, ur10):
+        return compile_cidgik(ur10, floor_mode=True)
+
+    def test_compile_frees_base_and_adds_planar_rows(self, ur10, fcomp):
+        base = {int(ur10.idx_p(0)), int(ur10.idx_q(0))}
+        assert base <= {int(i) for i in fcomp.free_idx}
+        assert not base & {int(i) for i in fcomp.anchor_idx}
+        assert len(fcomp.lin_u) == 2
+        assert fcomp.n_free == 12  # p0..p5, q0..q5
+
+    def test_residuals_zero_at_fk_points(self, ur10, fcomp):
+        """The canonical configuration has its base ON the floor, so every
+        constraint (incl. the two planar rows) is satisfied exactly."""
+        rng = np.random.RandomState(5)
+        q = rng.uniform(-np.pi, np.pi, 6)
+        pos = np.asarray(ur10.realization(jnp.asarray(q)))
+        anchors_pos = jnp.asarray(pos[fcomp.anchor_idx])
+        A_eq, b_eq, A_in, lo, hi = cidgik._constraint_matrices(
+            fcomp, anchors_pos, jnp.float64
+        )
+        Z = lifted_from_points(fcomp, pos[fcomp.free_idx])
+        r = np.einsum("mij,ij->m", np.asarray(A_eq), Z) - np.asarray(b_eq)
+        assert np.abs(r).max() < 1e-8, np.abs(r).max()
+
+    def test_solve_reaches_goal_with_floating_base(self, ur10, fcomp):
+        n = 3
+        T_goal, _ = api.random_goals(ur10, jax.random.PRNGKey(3), (n,))
+        T_goal = np.asarray(T_goal, np.float64)
+        out = cidgik.solve_cidgik(
+            fcomp, jnp.asarray(T_goal),
+            params=CidgikParams(admm_iters=1000, max_outer=8),
+        )
+        pts = np.asarray(out["points"], np.float64)
+        ip0, iq0 = int(ur10.idx_p(0)), int(ur10.idx_q(0))
+        p0, q0 = pts[:, ip0], pts[:, iq0]
+        # planar LMEs hold on the returned (cone-feasible) iterate
+        assert np.abs(p0[:, 2]).max() < 2e-2, p0
+        assert np.abs(q0[:, 2] - 1.0).max() < 2e-2, q0
+
+        # Gauge realignment: express each solution in its own solved base
+        # frame (origin p0, z-axis q0-p0, arbitrary yaw - the UR10's first
+        # joint rotates about base z, so yaw is absorbed by q1), then
+        # extract joint angles and check FK reproduces the transformed
+        # goal - i.e. the floating-base solution really reaches the pose.
+        pos_fixed = np.asarray(ur10.pos_fixed, np.float64)
+        ix, iy = int(ur10.idx_x), int(ur10.idx_y)
+        P_list, Tg_list = [], []
+        for b in range(n):
+            z = q0[b] - p0[b]
+            z = z / np.linalg.norm(z)
+            r = np.array([1.0, 0.0, 0.0])
+            if abs(z @ r) > 0.9:
+                r = np.array([0.0, 1.0, 0.0])
+            x = r - (r @ z) * z
+            x = x / np.linalg.norm(x)
+            y = np.cross(z, x)
+            R = np.stack([x, y, z], axis=1)
+            T_base = np.eye(4)
+            T_base[:3, :3] = R
+            T_base[:3, 3] = p0[b]
+            P = (pts[b] - p0[b]) @ R
+            P[ix] = pos_fixed[ix]
+            P[iy] = pos_fixed[iy]
+            P_list.append(P)
+            Tg_list.append(np.linalg.inv(T_base) @ T_goal[b])
+        P = jnp.asarray(np.stack(P_list))
+        Tg = jnp.asarray(np.stack(Tg_list))
+        q = ur10.joint_variables(P, Tg)
+        e_pos, e_rot = api.pose_error(ur10, q, Tg)
+        hits = (np.asarray(e_pos) < 2e-2) & (np.asarray(e_rot) < 5e-2)
+        assert hits.sum() >= 2, (e_pos, e_rot, out["eig_sum"], out["feas"])

@@ -164,7 +164,7 @@ def test_res_tol_stop_reaches_polish_basin():
     out_stop = api.solve_ik(
         ps, T_goal, params=TRParams(maxiter=500, res_tol=1e-3)
     )
-    out_full = api.solve_ik(ps, T_goal, params=TRParams(maxiter=500))
+    out_full = api.solve_ik(ps, T_goal, params=TRParams.production(maxiter=500))
     it_stop = np.asarray(out_stop["iterations"])
     it_full = np.asarray(out_full["iterations"])
     assert it_stop.mean() < it_full.mean()

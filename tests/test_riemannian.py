@@ -123,7 +123,7 @@ class TestEndToEnd:
         T_goal, _ = api.random_goals(ps, key, (4,))
         Y_init = ps.realization(jnp.zeros(ps.n))
         out = api.solve_ik(
-            ps, T_goal, params=TRParams(maxiter=1500), use_limits=False,
+            ps, T_goal, params=TRParams.production(maxiter=1500), use_limits=False,
             Y_init=Y_init,
         )
         assert np.all(np.asarray(out["e_pos"]) < 1e-4), out["e_pos"]
@@ -132,7 +132,7 @@ class TestEndToEnd:
         ps = planar6
         key = jax.random.PRNGKey(6)
         T_goal, _ = api.random_goals(ps, key, (4,))
-        out = api.solve_ik(ps, T_goal, params=TRParams(maxiter=1500))
+        out = api.solve_ik(ps, T_goal, params=TRParams.production(maxiter=1500))
         # limits path: success criterion pos/rot err < 0.01
         assert np.all(np.asarray(out["e_pos"]) < 1e-2), out["e_pos"]
         assert np.all(np.asarray(out["e_rot"]) < 1e-2), out["e_rot"]
@@ -182,7 +182,7 @@ class TestEndToEnd:
         ps = planar6
         T_goal, _ = api.random_goals(ps, jax.random.PRNGKey(8), (3,))
         Y_init = ps.realization(jnp.zeros(ps.n))
-        tr = api.solve_ik(ps, T_goal, params=TRParams(maxiter=1500),
+        tr = api.solve_ik(ps, T_goal, params=TRParams.production(maxiter=1500),
                           use_limits=False, Y_init=Y_init, polish=False)
         cg = api.solve_ik(ps, T_goal, params=CGParams(maxiter=3000),
                           use_limits=False, Y_init=Y_init, polish=False)
@@ -193,8 +193,24 @@ class TestEndToEnd:
     def test_ur10_accuracy(self, ur10):
         key = jax.random.PRNGKey(7)
         T_goal, _ = api.random_goals(ur10, key, (4,))
-        out = api.solve_ik(ur10, T_goal, params=TRParams(maxiter=2000))
+        out = api.solve_ik(ur10, T_goal, params=TRParams.production(maxiter=2000))
         assert np.all(np.asarray(out["e_pos"]) < 1e-2), (
             out["e_pos"], out["e_rot"], out["gradnorm"], out["iterations"],
         )
         assert np.all(np.asarray(out["e_rot"]) < 1e-2)
+
+
+def test_default_params_reference_faithful():
+    """Library defaults must match the reference's stopping semantics
+    (gradnorm/maxiter only; trust_region.py:413-422): no plateau stop, no
+    residual early-stop. The tuned serving knobs live in the explicit
+    TRParams.production()/CGParams.production() presets (VERDICT r4 #8)."""
+    from graphik_tpu.solvers.riemannian import CGParams, TRParams
+
+    for d in (TRParams(), CGParams()):
+        assert d.plateau_every == 0
+    assert TRParams().res_tol == 0.0
+    assert TRParams.production().plateau_every == 16
+    assert CGParams.production().plateau_every == 16
+    # overrides pass through
+    assert TRParams.production(maxiter=7).maxiter == 7

@@ -105,11 +105,11 @@ class TestInitPath:
         ) < 2.0
 
         out_e = api.solve_ik(
-            ps, T_goal, params=TRParams(maxiter=150, maxinner=24),
+            ps, T_goal, params=TRParams.production(maxiter=150, maxinner=24),
             Y_init=Y_e,
         )
         out_s = api.solve_ik(
-            ps, T_goal, params=TRParams(maxiter=150, maxinner=24),
+            ps, T_goal, params=TRParams.production(maxiter=150, maxinner=24),
             Y_init=Y_s,
         )
         hit_e = np.asarray(out_e["e_pos"]) < 1e-2

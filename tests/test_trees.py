@@ -81,7 +81,7 @@ def test_tree_end_to_end_solve(tree):
     T_goal, q_goal = api.random_goals(tree, jax.random.PRNGKey(2), (8,))
     assert T_goal.shape[-3] == 2  # two end effectors
     solver = make_restart_solver(
-        tree, n_restarts=3, params=TRParams(maxiter=300)
+        tree, n_restarts=3, params=TRParams.production(maxiter=300)
     )
     out = solver(jnp.asarray(T_goal), jax.random.PRNGKey(0))
     e_pos = np.asarray(out["e_pos"])

@@ -152,3 +152,38 @@ def test_reference_urdf_files_parse_to_spec_twin(fname, loader):
     T_a = kinematics.all_poses(tpl_spec, q)
     T_b = kinematics.all_poses(tpl_x, q)
     np.testing.assert_allclose(np.asarray(T_a), np.asarray(T_b), atol=1e-8)
+
+
+def test_randomized_links_roundtrip():
+    """randomized_links (roboturdf.py:255-259): every parent->child delta
+    translation scales by an independent factor in [1-p, 1+p]; the
+    perturbed robot is still a valid kinematic template (FK/problem-graph
+    round trip recovers joint angles)."""
+    import jax
+    import jax.numpy as jnp
+
+    from graphik_tpu import api
+    from graphik_tpu.robots import kinematics, library
+
+    rng = np.random.RandomState(42)
+    tpl0, _ = library.load_ur10()
+    tpl_r, ps_r = library.load_ur10(randomized_links=True, rng=rng)
+
+    d0 = np.linalg.norm(np.diff(np.asarray(tpl0.T0)[:, :3, 3], axis=0),
+                        axis=-1)
+    dr = np.linalg.norm(np.diff(np.asarray(tpl_r.T0)[:, :3, 3], axis=0),
+                        axis=-1)
+    # link lengths actually changed, and by no more than the 40% default
+    assert np.max(np.abs(dr - d0)) > 1e-3
+    assert np.all(dr <= 1.45 * d0 + 1e-9)
+
+    # joint_variables round trip on the PERTURBED robot
+    q = jax.random.uniform(
+        jax.random.PRNGKey(3), (4, ps_r.n), minval=-np.pi, maxval=np.pi
+    )
+    T_goal = jax.vmap(lambda qq: kinematics.pose(tpl_r, qq, ps_r.n))(q)
+    pts = jax.vmap(ps_r.realization)(q)
+    q_rec = ps_r.joint_variables(pts, T_goal)
+    e_pos, e_rot = api.pose_error(ps_r, q_rec, T_goal)
+    assert np.max(np.asarray(e_pos)) < 1e-5, e_pos
+    assert np.max(np.asarray(e_rot)) < 1e-5, e_rot

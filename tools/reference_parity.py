@@ -95,11 +95,17 @@ def main():
             )
         raise ValueError(name)
 
-    # Reference budgets (riemannian_solver.py:44-50); plateau_every=0 keeps
-    # the stopping rule reference-faithful (gradnorm/maxiter only).
-    params = TRParams(
-        maxiter=3000, mingradnorm=5e-10, backend="dense", plateau_every=0
+    # Reference budgets (riemannian_solver.py:44-50). Library DEFAULTS must
+    # match reference stopping semantics (gradnorm/maxiter only, no plateau
+    # or residual early-stops) - the tuned preset is opt-in via
+    # TRParams.production(). Guard that contract here so a default change
+    # fails the parity run loudly instead of silently shifting semantics.
+    _d = TRParams()
+    assert _d.plateau_every == 0 and _d.res_tol == 0.0, (
+        "TRParams() defaults diverge from reference stopping semantics: "
+        f"plateau_every={_d.plateau_every}, res_tol={_d.res_tol}"
     )
+    params = TRParams(maxiter=3000, mingradnorm=5e-10, backend="dense")
 
     from graphik_tpu.utils import checkpoint, stats
 
