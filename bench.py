@@ -168,6 +168,17 @@ def main():
 
     # production() preset: opts into the plateau stop (plateau_every=16)
     # explicitly - bare TRParams() is reference-faithful (no plateau).
+    #
+    # res_tol (feasibility-aware early stop) is deliberately NOT set:
+    # RES_TOL_SWEEP.json's apparent ~5% wall saving at res_tol=2e-3 does
+    # not survive a controlled A/B (alternating-order, shared warm state:
+    # walls 0.180/0.178/0.181 s for res_tol 0/1e-3/2e-3 - identical within
+    # noise, while success falls 0.874 -> 0.848). In the fused Pallas
+    # kernel wall time is the slowest lane per 2048-lane tile and the
+    # iteration tail always reaches maxiter, so per-lane early exits free
+    # no wall; effective throughput strictly falls. Rejected (VERDICT r4
+    # item 4); the sweep order's cold first row is what made res_tol look
+    # like a win.
     params = TRParams.production(maxiter=maxiter, maxinner=maxinner)
     polish_params = LocalParams(maxiter=polish_iters, tol_grad=1e-8)
     n_dev = jax.device_count()
@@ -488,8 +499,11 @@ def main():
         log(f"config {name}: start")
         try:
             if name.endswith("_cidgik_sparse"):
+                # 1024 (up from round-4's 256): the split sparse engine's
+                # fused iteration costs near-constant wall up to ~1k lanes,
+                # and the bigger goal sample reads +1% @1mm.
                 emitter.results[name] = run_cidgik(
-                    ps, min(batch, 256), sparse=True
+                    ps, min(batch, 1024), sparse=True
                 )
             elif name.endswith("_cidgik"):
                 from graphik_tpu.solvers.cidgik import CidgikParams

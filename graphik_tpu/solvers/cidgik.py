@@ -758,12 +758,16 @@ def _solve_sdp_admm_split(op: _SplitOperator, aux, C, Z0, t0, U0, params,
     Ls_schur = aux["Ls_schur"]  # (B, m_d, m_d) chol of Schur complement
     G_dd = aux["G_dd"]
 
+    Sinv = aux["Sinv"]
+
     def gss_inv(r):  # (B, m_s) -> (B, m_s)
         # two triangular-factor matmuls, shared weights over the batch
         z = jnp.einsum("ij,bj->bi", Linv, r, precision=hp)
         return jnp.einsum("ji,bj->bi", Linv, z, precision=hp)
 
-    from graphik_tpu.ops.linalg import chol_solve_unrolled
+    def schur_solve(r):  # (B, m_d): fusable multiply-reduce vs 2*m_d
+        # sequential substitution steps (dispatch-latency-bound)
+        return jnp.sum(Sinv * r[:, None, :], axis=-1)
 
     def apply_A(Z, t):
         """Full residual r = [A(Z) - b; A_in(Z) - t], ordered
@@ -788,7 +792,7 @@ def _solve_sdp_admm_split(op: _SplitOperator, aux, C, Z0, t0, U0, params,
         z_s = gss_inv(r_s)
         if m_d:
             rhs_d = r_d - jnp.einsum("bim,bi->bm", G_sd, z_s, precision=hp)
-            y_d = chol_solve_unrolled(Ls_schur, rhs_d)
+            y_d = schur_solve(rhs_d)
             y_s = gss_inv(
                 r_s - jnp.einsum("bim,bm->bi", G_sd, y_d, precision=hp)
             )
@@ -814,7 +818,7 @@ def _solve_sdp_admm_split(op: _SplitOperator, aux, C, Z0, t0, U0, params,
                 rhs_d = e_d - jnp.einsum(
                     "bim,bi->bm", G_sd, z_s, precision=hp
                 )
-                dy_d = chol_solve_unrolled(Ls_schur, rhs_d)
+                dy_d = schur_solve(rhs_d)
                 dy_s = gss_inv(
                     e_s - jnp.einsum("bim,bm->bi", G_sd, dy_d, precision=hp)
                 )
@@ -856,7 +860,10 @@ def _solve_sdp_admm_split(op: _SplitOperator, aux, C, Z0, t0, U0, params,
         if params.cone_ns_iters:
             from graphik_tpu.ops.linalg import psd_project_ns
 
-            Wp = psd_project_ns(W, iters=params.cone_ns_iters)
+            # unroll=True: broadcast-FMA matmuls fuse across the NS chain
+            # (the standalone batched-matmul ops were dispatch-latency
+            # bound at ~20 us each; see ops/linalg.mm_unrolled)
+            Wp = psd_project_ns(W, iters=params.cone_ns_iters, unroll=True)
         elif params.eigh_sweeps:
             lam, Q = jacobi_eigh(W, sweeps=params.eigh_sweeps)
             lam = jnp.maximum(lam, 0.0)
@@ -932,6 +939,7 @@ def _split_aux(op: _SplitOperator, anchors_pos, params, dt):
             "G_sd": jnp.zeros((B, op.m_s, 0), dt),
             "G_dd": jnp.zeros((B, 0, 0), dt),
             "Ls_schur": jnp.zeros((B, 0, 0), dt),
+            "Sinv": jnp.zeros((B, 0, 0), dt),
         }
     g_d = jnp.asarray(op.g_d)
     a_d = anchors_pos[:, g_d, :]  # (B, m_d, d)
@@ -974,10 +982,21 @@ def _split_aux(op: _SplitOperator, anchors_pos, params, dt):
     S = S + 1e-7 * jnp.trace(S, axis1=-2, axis2=-1)[..., None, None] / m_d \
         * jnp.eye(m_d, dtype=dt)
     Ls_schur = chol_unrolled(S)
+    # Explicit Schur inverse: turns the two in-loop triangular
+    # substitution chains (2*m_d sequential tiny ops each) into single
+    # fusable multiply-reduces (see the sparse engine, cidgik_sparse.py).
+    from graphik_tpu.ops.linalg import chol_solve_unrolled as _csu
+
+    eye_md = jnp.eye(m_d, dtype=dt)
+    Sinv = jax.vmap(
+        lambda e: _csu(Ls_schur, jnp.broadcast_to(e, (B, m_d))),
+        out_axes=-1,
+    )(eye_md)
     return {
         "a_d": a_d, "nrm_d": nrm_d, "b_d": b_d,
         "lo_d": lo_d, "hi_d": hi_d,
         "G_sd": G_sd, "G_dd": G_dd, "Ls_schur": Ls_schur,
+        "Sinv": Sinv,
     }
 
 

@@ -49,9 +49,12 @@ def main():
         return api.random_goals(ps, key, (batch,))[0]
 
     polish = LocalParams(maxiter=10, tol_grad=1e-8)
+    # mirror the bench operating point (production preset, smooth_iters=2)
+    # so the sweep answers the question bench.py actually poses; 100 is the
+    # round-4 production maxiter, 150 the r3 one.
     grid = []
-    for mi in (150, 250):
-        for rt in (0.0, 1e-3, 2e-3, 3e-3, 5e-3):
+    for mi in (100, 150):
+        for rt in (0.0, 1e-3, 2e-3, 3e-3, 5e-3, 1e-2):
             grid.append((mi, rt))
 
     T_goal = gen(jax.random.PRNGKey(0))
@@ -60,18 +63,22 @@ def main():
     jax.block_until_ready(T_eval)
 
     for mi, rt in grid:
-        params = TRParams(maxiter=mi, maxinner=24, res_tol=rt)
-        solver = api.make_solver(ps, params=params, polish_params=polish)
+        params = TRParams.production(maxiter=mi, maxinner=24, res_tol=rt)
+        solver = api.make_solver(ps, params=params, polish_params=polish,
+                                 smooth_iters=2)
         t0 = time.perf_counter()
         out = solver(T_goal)
         jax.block_until_ready(out)
         np.asarray(out["e_pos"])
         compile_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        out = solver(T_eval)
-        jax.block_until_ready(out)
-        np.asarray(out["e_pos"])
-        wall = time.perf_counter() - t0
+        walls = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = solver(T_eval)
+            jax.block_until_ready(out)
+            np.asarray(out["e_pos"])
+            walls.append(time.perf_counter() - t0)
+        wall = min(walls)
         stats = {k: float(v) for k, v in summarize(out).items()}
         rec = {
             "config": name,
