@@ -89,18 +89,85 @@ class UrdfJoint:
 
 
 @dataclasses.dataclass
+class UrdfVisual:
+    """One <visual> (or <collision>) geometry attached to a link.
+
+    kind is one of "mesh", "box", "cylinder", "sphere"; `filename` is the
+    raw URDF reference for meshes (resolved lazily against the URDF's
+    directory or an explicit mesh root — see UrdfModel.resolve_mesh_path);
+    `size` holds the primitive parameters (box size xyz / [radius] /
+    [radius, length]) or the mesh scale factors.
+    """
+
+    link: str
+    kind: str
+    T_origin: np.ndarray
+    filename: Optional[str] = None
+    size: Optional[np.ndarray] = None
+
+
+def _parse_visuals(root: ET.Element, tag: str) -> List["UrdfVisual"]:
+    out = []
+    for link in root.findall("link"):
+        for vis in link.findall(tag):
+            geom = vis.find("geometry")
+            if geom is None:
+                continue
+            T = _origin_to_T(vis.find("origin"))
+            mesh = geom.find("mesh")
+            box = geom.find("box")
+            cyl = geom.find("cylinder")
+            sph = geom.find("sphere")
+            if mesh is not None:
+                scale = np.array(
+                    [float(v) for v in mesh.get("scale", "1 1 1").split()]
+                )
+                out.append(UrdfVisual(
+                    link=link.get("name"), kind="mesh", T_origin=T,
+                    filename=mesh.get("filename"), size=scale,
+                ))
+            elif box is not None:
+                out.append(UrdfVisual(
+                    link=link.get("name"), kind="box", T_origin=T,
+                    size=np.array(
+                        [float(v) for v in box.get("size").split()]
+                    ),
+                ))
+            elif cyl is not None:
+                out.append(UrdfVisual(
+                    link=link.get("name"), kind="cylinder", T_origin=T,
+                    size=np.array([
+                        float(cyl.get("radius")), float(cyl.get("length"))
+                    ]),
+                ))
+            elif sph is not None:
+                out.append(UrdfVisual(
+                    link=link.get("name"), kind="sphere", T_origin=T,
+                    size=np.array([float(sph.get("radius"))]),
+                ))
+    return out
+
+
+@dataclasses.dataclass
 class UrdfModel:
     name: str
     joints: List[UrdfJoint]
     links: List[str]
+    visuals: List[UrdfVisual] = dataclasses.field(default_factory=list)
+    collisions: List[UrdfVisual] = dataclasses.field(default_factory=list)
+    base_dir: Optional[str] = None
 
     @classmethod
     def parse(cls, source: str) -> "UrdfModel":
         """Parse a URDF file path or XML string."""
+        base_dir = None
         if source.lstrip().startswith("<"):
             root = ET.fromstring(source)
         else:
+            import os
+
             root = ET.parse(source).getroot()
+            base_dir = os.path.dirname(os.path.abspath(source))
         joints = []
         for j in root.findall("joint"):
             lim = j.find("limit")
@@ -126,7 +193,12 @@ class UrdfModel:
                 )
             )
         links = [l.get("name") for l in root.findall("link")]
-        return cls(name=root.get("name", "robot"), joints=joints, links=links)
+        return cls(
+            name=root.get("name", "robot"), joints=joints, links=links,
+            visuals=_parse_visuals(root, "visual"),
+            collisions=_parse_visuals(root, "collision"),
+            base_dir=base_dir,
+        )
 
     # -- structure queries ------------------------------------------------
     @property
@@ -157,14 +229,43 @@ class UrdfModel:
 
     def link_fk_zero(self) -> Dict[str, np.ndarray]:
         """World pose of every link at zero configuration."""
+        return self.link_fk()
+
+    def link_fk(self, cfg: Optional[Dict[str, float]] = None
+                ) -> Dict[str, np.ndarray]:
+        """World pose of every link at configuration `cfg`.
+
+        cfg maps joint NAME -> value; missing joints sit at zero (the
+        reference's urdfpy `link_fk(cfg=...)` semantics, roboturdf.py:132).
+        Revolute/continuous joints rotate about their axis; prismatic
+        joints translate along it; fixed joints ignore cfg.
+        """
+        cfg = cfg or {}
         parent_joint = {j.child: j for j in self.joints}
         fk: Dict[str, np.ndarray] = {}
+
+        def joint_T(j: UrdfJoint) -> np.ndarray:
+            v = float(cfg.get(j.name, 0.0))
+            T = j.T_origin
+            if v == 0.0:
+                return T
+            M = np.eye(4)
+            if j.jtype in ACTUATED_TYPES:
+                a = j.axis / np.linalg.norm(j.axis)
+                K = np.array([
+                    [0, -a[2], a[1]], [a[2], 0, -a[0]], [-a[1], a[0], 0]
+                ])
+                M[:3, :3] = (np.eye(3) + np.sin(v) * K
+                             + (1 - np.cos(v)) * K @ K)
+            elif j.jtype == "prismatic":
+                M[:3, 3] = v * j.axis / np.linalg.norm(j.axis)
+            return T @ M
 
         def pose(link: str) -> np.ndarray:
             if link in fk:
                 return fk[link]
             j = parent_joint.get(link)
-            T = np.eye(4) if j is None else pose(j.parent) @ j.T_origin
+            T = np.eye(4) if j is None else pose(j.parent) @ joint_T(j)
             fk[link] = T
             return T
 
@@ -172,10 +273,92 @@ class UrdfModel:
             pose(l)
         return fk
 
+    def cfg_from_q(self, q) -> Dict[str, float]:
+        """Map a template joint vector to a URDF joint-name config.
+
+        q[k] is the angle of the k-th actuated joint in document order —
+        exactly the reference's `map_to_urdf_ind` contract
+        (roboturdf.py:26-38, 178-190: label p{k+1} -> actuated joint k).
+        """
+        q = np.asarray(q, dtype=float).reshape(-1)
+        act = self.actuated_joints
+        return {j.name: float(q[k]) for k, j in enumerate(act[: len(q)])}
+
+    def resolve_mesh_path(self, filename: str,
+                          mesh_root: Optional[str] = None) -> str:
+        """Resolve a URDF mesh reference to a filesystem path.
+
+        `package://<pkg>/rest` drops the package prefix and resolves
+        `rest` against mesh_root (or the URDF's own directory); plain
+        relative paths resolve against the same roots.
+        """
+        import os
+
+        fn = filename
+        if fn.startswith("package://"):
+            fn = fn[len("package://"):]
+            fn = fn.split("/", 1)[1] if "/" in fn else fn
+        if os.path.isabs(fn):
+            return fn
+        for root in (mesh_root, self.base_dir):
+            if root is not None:
+                cand = os.path.join(root, fn)
+                if os.path.exists(cand):
+                    return cand
+        return fn
+
+    def visual_meshes(
+        self,
+        cfg: Optional[Dict[str, float]] = None,
+        mesh_root: Optional[str] = None,
+        collision: bool = False,
+    ) -> List[Tuple[str, np.ndarray, np.ndarray]]:
+        """Posed triangle meshes for every link geometry.
+
+        The mesh-assembly half of the reference's pyrender scene
+        (urdf_visualization.py:9-60: urdf.show poses trimesh link meshes
+        at the FK frames). Returns [(link_name, verts (V, 3) world-frame,
+        faces (F, 3))]; primitives (box/cylinder/sphere) are tessellated.
+        Missing mesh files are skipped (the caller can still render the
+        remaining geometry).
+        """
+        from graphik_tpu.io import mesh as _mesh
+
+        fk = self.link_fk(cfg)
+        out = []
+        for vis in (self.collisions if collision else self.visuals):
+            if vis.link not in fk:
+                continue
+            if vis.kind == "mesh":
+                import os
+
+                path = self.resolve_mesh_path(vis.filename, mesh_root)
+                if not os.path.exists(path):
+                    continue
+                v, f = _mesh.load_mesh(path)
+                if vis.size is not None:
+                    v = v * vis.size
+            elif vis.kind == "box":
+                v, f = _mesh.box_mesh(vis.size)
+            elif vis.kind == "cylinder":
+                v, f = _mesh.cylinder_mesh(vis.size[0], vis.size[1])
+            elif vis.kind == "sphere":
+                v, f = _mesh.sphere_mesh(vis.size[0])
+            else:
+                continue
+            T = fk[vis.link] @ vis.T_origin
+            out.append((vis.link, v @ T[:3, :3].T + T[:3, 3], f))
+        return out
+
     # -- template construction -------------------------------------------
-    def t_zero(self) -> Tuple[List[UrdfJoint], Dict[str, np.ndarray]]:
-        """Ordered joint list + frame dict (roboturdf.py:122-153)."""
-        fk = self.link_fk_zero()
+    def t_zero(self, cfg: Optional[Dict[str, float]] = None
+               ) -> Tuple[List[UrdfJoint], Dict[str, np.ndarray]]:
+        """Ordered joint list + frame dict (roboturdf.py:122-153).
+
+        With `cfg`, frames are taken at that configuration (the reference's
+        extract_T_zero_from_URDF(q=q) path used by its scene builder,
+        urdf_visualization.py:34-42)."""
+        fk = self.link_fk(cfg)
         order: List[UrdfJoint] = []
         T: Dict[str, np.ndarray] = {}
         for j in self.actuated_joints:

@@ -1,10 +1,10 @@
 """Matplotlib visualization (reference utils/robot_visualization.py +
-a mesh-free analogue of the pyrender scene viewer, urdf_visualization.py).
+an OpenGL-free analogue of the pyrender scene viewer, urdf_visualization.py).
 
 Plots planar manipulators, 3D point-graph realizations with frames, solved
 robot scenes (link cylinders, joint frame triads, obstacle spheres, goal
-frames - urdf_visualization.py:9-177 without the mesh assets, which are
-not part of the kinematic framework), and solver-metric histograms.
+frames), full URDF mesh scenes (make_scene + visualize_meshes, backed by
+the io/mesh.py OBJ/STL/COLLADA loaders), and solver-metric histograms.
 matplotlib is imported lazily so headless deployments don't pay for it.
 """
 
@@ -253,55 +253,137 @@ def _sphere_mesh(center, radius, n_theta=16, n_phi=12):
 
 
 def load_mesh(path):
-    """Load a triangle mesh from a .obj or .stl file (ascii or binary).
+    """Load a triangle mesh (.obj / .stl / .dae) — see io/mesh.py.
 
-    Returns (vertices (V, 3) float64, faces (F, 3) int). Covers the mesh
-    idioms the reference's pyrender path consumes via trimesh
-    (urdf_visualization.py:9-60): OBJ v/f records (polygon faces fan-
-    triangulated, v/vt/vn and negative indices handled) and both STL
-    flavors (binary STL emits per-facet vertices; no dedup is attempted).
+    Kept as a re-export: this module's OBJ/STL loader moved to
+    graphik_tpu.io.mesh when COLLADA support was added.
     """
-    lower = path.lower()
-    if lower.endswith(".obj"):
-        verts, faces = [], []
-        with open(path) as f:
-            for line in f:
-                parts = line.split()
-                if not parts:
-                    continue
-                if parts[0] == "v":
-                    verts.append([float(x) for x in parts[1:4]])
-                elif parts[0] == "f":
-                    idx = []
-                    for tok in parts[1:]:
-                        k = int(tok.split("/")[0])
-                        idx.append(k - 1 if k > 0 else len(verts) + k)
-                    for j in range(1, len(idx) - 1):  # fan-triangulate
-                        faces.append([idx[0], idx[j], idx[j + 1]])
-        return np.asarray(verts, float), np.asarray(faces, int)
-    if lower.endswith(".stl"):
-        with open(path, "rb") as f:
-            raw = f.read()
-        head = raw[:512].lstrip()
-        if head.startswith(b"solid") and b"facet" in raw[:2048]:
-            verts = []
-            for line in raw.decode("ascii", "ignore").splitlines():
-                parts = line.split()
-                if parts[:1] == ["vertex"]:
-                    verts.append([float(x) for x in parts[1:4]])
-            verts = np.asarray(verts, float)
-        else:
-            import struct
+    from graphik_tpu.io.mesh import load_mesh as _lm
 
-            (n_tri,) = struct.unpack_from("<I", raw, 80)
-            data = np.frombuffer(
-                raw, dtype=np.uint8, count=50 * n_tri, offset=84
-            ).reshape(n_tri, 50)
-            tri = data[:, 12:48].copy().view("<f4").reshape(n_tri, 3, 3)
-            verts = tri.reshape(-1, 3).astype(float)
-        faces = np.arange(len(verts), dtype=int).reshape(-1, 3)
-        return verts, faces
-    raise ValueError(f"unsupported mesh format: {path}")
+    return _lm(path)
+
+
+def make_scene(model, q=None, mesh_root=None, with_robot=True,
+               with_frames=True, with_balls=True, with_edges=True,
+               collision=False, frame_scale=0.13, ball_radius=0.02,
+               edge_radius=0.005):
+    """Assemble the full meshed robot scene as triangle-mesh groups.
+
+    The TPU-framework equivalent of the reference's pyrender scene builder
+    (urdf_visualization.py:9-60 `make_scene`): URDF link visual meshes
+    posed at configuration q, axis-triad frames and marker balls at every
+    joint frame (the reference instances frame.dae / redball.dae,
+    urdf_visualization.py:40-47 — ours are generated geometry, so no mesh
+    assets are required), and gray cylinders between every joint-frame
+    pair (urdf_visualization.py:49-59, incl. the <1 mm degenerate-edge
+    skip). `model` is an io.urdf.UrdfModel; q is a template joint vector
+    (mapped to URDF joints via cfg_from_q) or a {joint_name: angle} dict.
+
+    Returns [(name, verts (V, 3), faces (F, 3))] — feed to
+    visualize_meshes for a matplotlib rendering or write_obj for export.
+    """
+    from itertools import combinations
+
+    from graphik_tpu.io.mesh import cylinder_mesh, sphere_mesh
+
+    cfg = None
+    if q is not None:
+        cfg = q if isinstance(q, dict) else model.cfg_from_q(q)
+    groups = []
+    if with_robot:
+        for link, v, f in model.visual_meshes(
+            cfg, mesh_root=mesh_root, collision=collision
+        ):
+            groups.append((f"link_{link}", v, f))
+
+    _, T_frames = model.t_zero(cfg)
+    Ts = list(T_frames.values())
+    if with_frames:
+        for k, T in enumerate(Ts):
+            for a in range(3):
+                v, f = _cylinder_mesh(
+                    T[:3, 3], T[:3, 3] + frame_scale * T[:3, a],
+                    edge_radius * 1.6, n_theta=8,
+                )
+                groups.append((f"frame_{k}_axis_{a}", v, f))
+    if with_balls:
+        for k, T in enumerate(Ts):
+            v, f = sphere_mesh(ball_radius)
+            groups.append((f"ball_{k}", v + T[:3, 3], f))
+    if with_edges:
+        for i, j in combinations(range(len(Ts)), r=2):
+            p0, p1 = Ts[i][:3, 3], Ts[j][:3, 3]
+            if np.linalg.norm(p1 - p0) < 1e-3:
+                continue  # zero-height cylinder (urdf_visualization.py:80-82)
+            v, f = _cylinder_mesh(p0, p1, edge_radius, n_theta=8)
+            groups.append((f"edge_{i}_{j}", v, f))
+    return groups
+
+
+def visualize_meshes(groups, ax=None, max_faces=6000, elev=20.0,
+                     azim=45.0, color="lightsteelblue"):
+    """Render triangle-mesh groups with matplotlib (Poly3DCollection).
+
+    The viewer half of the reference's pyrender pipeline
+    (urdf_visualization.py:158-177) without an OpenGL dependency. Dense
+    meshes are face-subsampled to max_faces total so interactive use stays
+    responsive; pass max_faces=None for exact rendering.
+    """
+    plt = _plt()
+    from mpl_toolkits.mplot3d.art3d import Poly3DCollection
+
+    if ax is None:
+        fig = plt.figure(figsize=(8, 8))
+        ax = fig.add_subplot(projection="3d")
+    total = sum(len(f) for _, _, f in groups) or 1
+    lo = np.full(3, np.inf)
+    hi = np.full(3, -np.inf)
+    for name, v, f in groups:
+        if not len(f):
+            continue
+        if max_faces is not None and total > max_faces:
+            keep = max(1, int(len(f) * max_faces / total))
+            f = f[np.linspace(0, len(f) - 1, keep).astype(int)]
+        tris = v[f]
+        col = Poly3DCollection(
+            tris, alpha=0.9 if name.startswith("link") else 0.7
+        )
+        col.set_facecolor(
+            color if name.startswith("link")
+            else ("tab:red" if name.startswith("ball") else "gray")
+        )
+        col.set_edgecolor("none")
+        ax.add_collection3d(col)
+        lo = np.minimum(lo, v.min(axis=0))
+        hi = np.maximum(hi, v.max(axis=0))
+    if np.all(np.isfinite(lo)):
+        center = (lo + hi) / 2
+        half = float((hi - lo).max()) / 2 or 1.0
+        ax.set_xlim(center[0] - half, center[0] + half)
+        ax.set_ylim(center[1] - half, center[1] + half)
+        ax.set_zlim(center[2] - half, center[2] + half)
+    ax.view_init(elev=elev, azim=azim)
+    return ax
+
+
+def write_obj(groups, path):
+    """Write mesh groups as a Wavefront OBJ; returns (n_verts, n_faces)."""
+    n_total = 0
+    n_faces = 0
+    with open(path, "w") as f:
+        f.write("# graphik_tpu mesh export\n")
+        for name, verts, faces in groups:
+            if not len(verts):
+                continue
+            f.write(f"o {name}\n")
+            for v in verts:
+                f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+            for face in faces:
+                a, b, c = (int(x) + 1 + n_total for x in face)
+                f.write(f"f {a} {b} {c}\n")
+            n_total += len(verts)
+            n_faces += len(faces)
+    return n_total, n_faces
 
 
 def export_scene_obj(ps, q, path, link_radius=0.025, T_goal=None,
