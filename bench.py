@@ -145,7 +145,11 @@ def main():
     # success 0.874, ratio 0.985 vs the n=1000 f64 denominator 0.887, at
     # ~21.4k successful solves/s/chip; 120 buys +0.3% success for -5%
     # effective throughput, 150 +0.6% for -13%).
-    batch = int(os.environ.get("BENCH_BATCH", "4096"))
+    # 8192 (round 5): +8% ur10 throughput over 4096 at identical success
+    # (25.3k vs 23.3k raw) - the fused TR kernel is still dispatch/lane-
+    # underfilled at 4096. 16384 adds <1% more at 2x compile and has hit
+    # transient remote-compile tunnel failures; not worth it.
+    batch = int(os.environ.get("BENCH_BATCH", "8192"))
     maxiter = int(os.environ.get("BENCH_MAXITER", "100"))
     # tCG budget 24: success within 0.3% of 48 at +45% throughput.
     maxinner = int(os.environ.get("BENCH_MAXINNER", "24"))
@@ -376,16 +380,12 @@ def main():
         from graphik_tpu.solvers import cidgik as cd
         from graphik_tpu.solvers.cidgik import CidgikParams
 
-        # Newton-Schulz cone projection + warm-started (long, short) outer
-        # schedule (round 4): 14.1 -> 214 solves/s vs round 3 at BETTER
-        # polished accuracy (0.848 vs 0.844 @1mm) and 6x faster compiles;
-        # the split static/dynamic engine carries the obstacle scenes.
+        # CidgikParams.production(): Newton-Schulz cone projection +
+        # warm-started (1000, 9x500) schedule (round 4) + rho=10 (round-5
+        # sweep: raw ADMM @1cm 0.57 -> 0.80 dense / 0.53 -> 0.77 table at
+        # identical cost - the VERDICT r4 #2 accuracy gap, closed).
         if cparams is None:
-            # (1000, 9x500) trades ~18% throughput (210 -> ~175 solves/s,
-            # still >= the 150 bar) for +14% RAW ADMM accuracy @1cm - the
-            # axis round-3 flagged as the remaining gap vs MOSEK.
-            cparams = CidgikParams(admm_iters=1000, admm_iters_rest=500,
-                                   max_outer=10, cone_ns_iters=16)
+            cparams = CidgikParams.production()
         if sparse:
             from graphik_tpu.solvers import cidgik_sparse as cds
 
@@ -510,11 +510,13 @@ def main():
 
                 if "table" in name:
                     # obstacle scene: ~550 constraint rows through the
-                    # split engine; warm-started (800, 300) schedule
-                    cp = CidgikParams(admm_iters=800, admm_iters_rest=300,
-                                      max_outer=8, cone_ns_iters=16)
+                    # split engine; the round-5 production point (full
+                    # (1000, 9x500) schedule + rho=10) holds ~300+
+                    # solves/s at B=512, so the round-4 shortened
+                    # schedule is no longer needed.
                     emitter.results[name] = run_cidgik(
-                        ps, min(batch, 256), cparams=cp
+                        ps, min(batch, 512),
+                        cparams=CidgikParams.production(),
                     )
                 else:
                     emitter.results[name] = run_cidgik(ps, min(batch, 1024))

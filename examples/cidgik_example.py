@@ -23,11 +23,11 @@ def main(batch=16, seed=0):
     comp = compile_cidgik(graph)
 
     T_goal, q_goal = api.random_goals(graph, jax.random.PRNGKey(seed), (batch,))
-    # production config: Newton-Schulz cone projection + warm-started
-    # (long, short) convex-iteration schedule (see bench.py)
-    out = solve_cidgik(comp, jnp.asarray(T_goal), params=CidgikParams(
-        admm_iters=800, admm_iters_rest=400, max_outer=10, cone_ns_iters=16
-    ))
+    # the tuned serving point: Newton-Schulz cone projection, warm-
+    # started (long, short) convex-iteration schedule, rho=10 (see
+    # CidgikParams.production and bench.py)
+    out = solve_cidgik(comp, jnp.asarray(T_goal),
+                       params=CidgikParams.production())
 
     e_pos, e_rot = api.pose_error(graph, out["q"], jnp.asarray(T_goal))
     hit = (np.asarray(e_pos) < 1e-2) & (np.asarray(e_rot) < 1e-2)
@@ -61,9 +61,7 @@ def main_obstacles(batch=8, seed=0):
             goals.append(np.asarray(kinematics.pose(tpl, jnp.asarray(q), graph.n)))
     T_goal = jnp.asarray(np.stack(goals))
 
-    out = solve_cidgik(comp, T_goal, params=CidgikParams(
-        admm_iters=800, admm_iters_rest=300, max_outer=8, cone_ns_iters=16
-    ))
+    out = solve_cidgik(comp, T_goal, params=CidgikParams.production())
     # production pipeline: GN polish drives the ~cm ADMM basin to machine
     # precision while keeping obstacle clearance (api.polish_solution)
     with jax.default_matmul_precision("highest"):

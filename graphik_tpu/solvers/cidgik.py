@@ -401,6 +401,26 @@ class CidgikParams:
     adapt_lo: float = 0.3
     adapt_hi: float = 3.0
 
+    @classmethod
+    def production(cls, **overrides) -> "CidgikParams":
+        """The tuned serving operating point (round-5 accuracy sweep).
+
+        rho is the dominant raw-accuracy lever on this problem family:
+        with the row-normalized operator, rho=10 lifts the raw (un-
+        polished) ADMM rate @1cm from 0.57 to 0.80 on dense UR10 (0.53 to
+        0.77 on the 100-sphere table scene) at IDENTICAL per-iteration
+        cost, beating the f64 oracle rate measured at rho=1 (0.758,
+        CIDGIK_SWEEP.json). Past rho~12 the @1cm rate keeps inching up
+        but @1mm regresses (the rank-forcing cost C/rho gets too weak to
+        finish driving the small eigenvalues), so production sits at the
+        combined-accuracy optimum. The (1000, 9x500) warm-start schedule
+        and the Newton-Schulz cone projection are the round-4 tuning.
+        """
+        kw = dict(admm_iters=1000, admm_iters_rest=500, max_outer=10,
+                  cone_ns_iters=16, rho=10.0)
+        kw.update(overrides)
+        return cls(**kw)
+
 
 def _solve_sdp_admm(A_eq, b_eq, A_in, lo, hi, C, Z0, s0, u0, params):
     """One linear-cost SDP solve via two-block ADMM (single instance).

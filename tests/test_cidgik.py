@@ -211,6 +211,37 @@ class TestIterationSchedule:
         )), (e_flat, e_sched)
 
 
+class TestProductionParams:
+    """CidgikParams.production(): the tuned serving point (round-5 sweep).
+
+    rho=10 with the row-normalized split operator is the dominant raw-
+    accuracy lever - raw @1cm 0.57 -> 0.80 on dense UR10 at identical
+    per-iteration cost (tools/cidgik_raw_accuracy_sweep.py)."""
+
+    def test_fields_and_overrides(self):
+        p = CidgikParams.production()
+        assert (p.rho, p.admm_iters, p.admm_iters_rest) == (10.0, 1000, 500)
+        assert p.cone_ns_iters == 16 and p.max_outer == 10
+        assert CidgikParams.production(max_outer=3).max_outer == 3
+
+    def test_rho10_beats_rho1_raw_accuracy(self, ur10, comp):
+        T_goal, _ = api.random_goals(ur10, jax.random.PRNGKey(9), (6,))
+        budget = dict(admm_iters=300, admm_iters_rest=150, max_outer=5,
+                      cone_ns_iters=16)
+        lo = cidgik.solve_cidgik(
+            comp, jnp.asarray(T_goal), params=CidgikParams(**budget)
+        )
+        hi = cidgik.solve_cidgik(
+            comp, jnp.asarray(T_goal),
+            params=CidgikParams(rho=10.0, **budget),
+        )
+        e_lo, _ = api.pose_error(ur10, lo["q"], jnp.asarray(T_goal))
+        e_hi, _ = api.pose_error(ur10, hi["q"], jnp.asarray(T_goal))
+        assert float(np.median(np.asarray(e_hi))) <= float(
+            np.median(np.asarray(e_lo))
+        ), (e_lo, e_hi)
+
+
 class TestFloorMode:
     """floor_mode (convex_iteration.py:185-192 + add_planar_constraints,
     sdp_snl.py:854-871): the base nodes p0/q0 are freed from anchoring and

@@ -13,7 +13,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/graphik_tpu_jax_cache")
+    from graphik_tpu.utils.cache import ensure_cache_dir
+    jax.config.update("jax_compilation_cache_dir", ensure_cache_dir())
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 

@@ -26,13 +26,19 @@ def main():
     ap.add_argument("--modes", type=str, default="dense,sparse",
                     help="comma list: dense,sparse")
     ap.add_argument("--out", type=str, default="CIDGIK_SWEEP.json")
+    ap.add_argument("--rho", type=float, default=1.0,
+                    help="ADMM penalty (production uses 10; round-5 sweep)")
+    ap.add_argument("--suffix", type=str, default="",
+                    help="row-key suffix; merges into --out instead of "
+                         "overwriting when set")
     args = ap.parse_args()
 
     import jax
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
-    jax.config.update("jax_compilation_cache_dir", "/tmp/graphik_tpu_jax_cache")
+    from graphik_tpu.utils.cache import ensure_cache_dir
+    jax.config.update("jax_compilation_cache_dir", ensure_cache_dir())
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
@@ -53,7 +59,7 @@ def main():
     # convergence (the reference's MOSEK analogue is its 1e-6 interior
     # point, sdp_formulations.py:9-43).
     params = CidgikParams(admm_iters=1600, max_outer=16, rel_tol=1e-5,
-                          eigh_sweeps=20)
+                          eigh_sweeps=20, rho=args.rho)
 
     def feasible_goals(ps, key, n):
         """FK-certified goals whose generating configuration clears the
@@ -109,7 +115,7 @@ def main():
                 lambda qi: ps.check_distance_limits(ps.realization(qi))
             )(out["q"])
             clear = np.asarray(clear)
-            key = f"{name}_{mode}"
+            key = f"{name}_{mode}{args.suffix}"
             results[key] = {
                 "goals": args.goals,
                 "success_rate_1cm": round(float(hit.mean()), 4),
@@ -124,6 +130,11 @@ def main():
             }
             print(f"{key}: {results[key]}", file=sys.stderr, flush=True)
 
+    if args.suffix and os.path.exists(args.out):
+        with open(args.out) as f:
+            merged = json.load(f)
+        merged.update(results)
+        results = merged
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results))

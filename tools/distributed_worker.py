@@ -30,7 +30,8 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 import jax
 
 jax.config.update("jax_platforms", os.environ.get("JAX_PLATFORMS", "cpu"))
-jax.config.update("jax_compilation_cache_dir", "/tmp/graphik_tpu_jax_cache")
+from graphik_tpu.utils.cache import ensure_cache_dir
+jax.config.update("jax_compilation_cache_dir", ensure_cache_dir())
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
