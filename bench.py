@@ -480,10 +480,21 @@ def main():
     est = {"riemannian": 75.0, "restarts": 90.0, "cidgik": 120.0,
            "recheck": 15.0}
 
+    measured = set()
     for name in configs:
         kind = ("recheck" if name == "ur10_recheck"
                 else "cidgik" if "_cidgik" in name
                 else "restarts" if "_restarts" in name else "riemannian")
+        # No restarts config has run yet, but the riemannian kind has: a
+        # restart config is the same solver at a different batch shape, so
+        # its cost tracks the measured riemannian cost (x1.3 for the extra
+        # restart axis), not the conservative cold-start constant. Without
+        # this, a COLD run that measures expensive riemannian configs
+        # leaves the stale 90 s guess in place and skips every restart
+        # config even when the warm cost is ~15 s (observed round 5).
+        if kind == "restarts" and kind not in measured \
+                and "riemannian" in measured:
+            est[kind] = max(20.0, 1.3 * est["riemannian"])
         elapsed = time.perf_counter() - T_START
         # The end-of-run headline re-measurement gets a small grace window
         # past the budget: it is cheap warm (compile cached in-process) and
@@ -532,6 +543,7 @@ def main():
             emitter.results[name] = {"error": f"{type(exc).__name__}: {exc}"}
             log(f"config {name}: FAILED {exc}")
         est[kind] = max(est[kind] * 0.5, time.perf_counter() - t_cfg)
+        measured.add(kind)
         emitter.flush()
 
     # Final line: compact headline only, so any driver tail window parses it.

@@ -92,6 +92,11 @@ class CidgikSparseCompiled:
     ina_anchor: np.ndarray
     ina_lo: np.ndarray
     ina_hi: np.ndarray
+    # floor_mode planar rows n . x_u = c (free slots; the rows themselves
+    # are stamped into A_eq_static - they are batch-static)
+    lin_u: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, np.int64)
+    )
 
     @property
     def d(self) -> int:
@@ -106,11 +111,26 @@ class CidgikSparseCompiled:
         return len(self.free_idx)
 
 
-def compile_cidgik_sparse(ps: ProblemStructure) -> CidgikSparseCompiled:
-    """Host-side clique decomposition + constraint stamping."""
+def compile_cidgik_sparse(
+    ps: ProblemStructure, floor_mode: bool = False
+) -> CidgikSparseCompiled:
+    """Host-side clique decomposition + constraint stamping.
+
+    floor_mode mirrors the dense compiler (cidgik.compile_cidgik and the
+    reference convex_iteration.py:185-192, which passes floor_mode through
+    on both the dense and sparse paths): p0/q0 are freed from anchoring
+    and constrained to their canonical horizontal planes by linear matrix
+    equalities stamped into their host cliques.
+    """
     dim = ps.dim
     sdp_nodes = [i for i in range(ps.N) if i not in (ps.idx_x, ps.idx_y)]
     anchor = sorted(i for i in sdp_nodes if ps.anchor_mask[i])
+    floor_nodes = []
+    if floor_mode:
+        if dim != 3:
+            raise ValueError("floor_mode requires a 3D problem")
+        floor_nodes = [int(ps.idx_p(0)), int(ps.idx_q(0))]
+        anchor = [a for a in anchor if a not in floor_nodes]
     free = [i for i in sdp_nodes if i not in set(anchor)]
     free_slot = {node: k for k, node in enumerate(free)}
     anchor_slot = {node: k for k, node in enumerate(anchor)}
@@ -158,6 +178,26 @@ def compile_cidgik_sparse(ps: ProblemStructure) -> CidgikSparseCompiled:
                 A[k, j, i] += 0.5
                 A_eq.append(A)
                 b_eq.append(1.0 if i == j else 0.0)
+
+    # floor_mode planar rows: tr(A Z_k) = n . x_u = c, stamped into the
+    # node's host clique; batch-static, so they ride A_eq_static through
+    # both the vmap and split engines (sdp_snl.py:854-871 semantics).
+    lin_u = []
+    if floor_nodes:
+        pos_fixed = np.asarray(ps.pos_fixed, np.float64)
+        n_vec = np.zeros(dim)
+        n_vec[-1] = 1.0
+        for node in floor_nodes:
+            u = free_slot[node]
+            k = host_clique(u)
+            assert k is not None
+            r = dim + local[k][u]
+            A = np.zeros((K, ds, ds))
+            A[k, r, :dim] += 0.5 * n_vec
+            A[k, :dim, r] += 0.5 * n_vec
+            A_eq.append(A)
+            b_eq.append(float(n_vec @ pos_fixed[node, :dim]))
+            lin_u.append(u)
 
     # overlap equalities (sdp_snl.py:661-715): for every free slot in >1
     # clique, chain consecutive host cliques - X rows (d scalars) and the
@@ -279,6 +319,7 @@ def compile_cidgik_sparse(ps: ProblemStructure) -> CidgikSparseCompiled:
         ina_anchor=ina[:, 2].astype(np.int64),
         ina_lo=ina[:, 3],
         ina_hi=ina[:, 4],
+        lin_u=np.asarray(lin_u, dtype=np.int64),
     )
 
 

@@ -123,3 +123,48 @@ class TestEndToEnd:
         # both formulations solve the instances (same relaxation)
         assert (np.asarray(es_p) < 2e-2).sum() >= 1
         assert (np.asarray(ed_p) < 2e-2).sum() >= 1
+
+
+class TestFloorModeSparse:
+    """floor_mode on the sparse path (the reference passes floor_mode
+    through to both dense and sparse, convex_iteration.py:185-192): p0/q0
+    freed from anchoring, planar LMEs stamped into their host cliques."""
+
+    @pytest.fixture(scope="class")
+    def fcomp(self, ur10):
+        return cs.compile_cidgik_sparse(ur10, floor_mode=True)
+
+    def test_compile_frees_base_and_adds_planar_rows(self, ur10, fcomp):
+        base = {int(ur10.idx_p(0)), int(ur10.idx_q(0))}
+        assert base <= {int(i) for i in fcomp.free_idx}
+        assert not base & {int(i) for i in fcomp.anchor_idx}
+        assert len(fcomp.lin_u) == 2
+        assert fcomp.n_free == 12  # p0..p5, q0..q5
+
+    def test_residuals_zero_at_fk_points(self, ur10, fcomp):
+        """The canonical configuration's base sits ON the floor, so every
+        constraint (incl. the planar rows) is satisfied exactly."""
+        rng = np.random.RandomState(5)
+        q = jnp.asarray(rng.uniform(-np.pi, np.pi, 6))
+        pos = np.asarray(ur10.realization(q))
+        anchors_pos = jnp.asarray(pos[fcomp.anchor_idx])
+        A_eq, b_eq, A_in, lo, hi = cs._constraint_tensors(
+            fcomp, anchors_pos, jnp.float64
+        )
+        Z = lifted_blocks(fcomp, pos[fcomp.free_idx])
+        r = np.einsum("mkij,kij->m", np.asarray(A_eq), Z) - np.asarray(b_eq)
+        assert np.abs(r).max() < 1e-8, np.abs(r).max()
+
+    def test_solve_keeps_base_on_planes(self, ur10, fcomp):
+        """The returned cone-feasible iterate satisfies the planar LMEs:
+        z(p0) ~ 0, z(q0) ~ 1 while the base is otherwise free."""
+        T_goal, _ = api.random_goals(ur10, jax.random.PRNGKey(3), (2,))
+        out = cs.solve_cidgik_sparse(
+            fcomp, jnp.asarray(T_goal),
+            params=CidgikParams(admm_iters=1000, max_outer=8),
+        )
+        pts = np.asarray(out["points"], np.float64)
+        p0 = pts[:, int(ur10.idx_p(0))]
+        q0 = pts[:, int(ur10.idx_q(0))]
+        assert np.abs(p0[:, 2]).max() < 2e-2, p0
+        assert np.abs(q0[:, 2] - 1.0).max() < 2e-2, q0
