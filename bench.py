@@ -384,8 +384,14 @@ def main():
         # warm-started (1000, 9x500) schedule (round 4) + rho=10 (round-5
         # sweep: raw ADMM @1cm 0.57 -> 0.80 dense / 0.53 -> 0.77 table at
         # identical cost - the VERDICT r4 #2 accuracy gap, closed).
+        # The plain dense config shortens the schedule to (700, 9x300):
+        # polished @1mm is IDENTICAL (0.8896) at ~1.6x throughput; the
+        # sparse/table configs keep the full schedule (their headline is
+        # accuracy, and the short schedule costs them 0.3-0.4% @1mm).
         if cparams is None:
-            cparams = CidgikParams.production()
+            cparams = CidgikParams.production(
+                admm_iters=700, admm_iters_rest=300
+            )
         if sparse:
             from graphik_tpu.solvers import cidgik_sparse as cds
 

@@ -415,6 +415,10 @@ class CidgikParams:
         finish driving the small eigenvalues), so production sits at the
         combined-accuracy optimum. The (1000, 9x500) warm-start schedule
         and the Newton-Schulz cone projection are the round-4 tuning.
+        (The admm_tol early stop is left at the conservative default: at
+        rho=10 the batched max-over-lanes primal residual stays above
+        3e-5 for the full budget at B=1024, so no tol in that range ever
+        fires - measured round 5, bench config walls unchanged.)
         """
         kw = dict(admm_iters=1000, admm_iters_rest=500, max_outer=10,
                   cone_ns_iters=16, rho=10.0)

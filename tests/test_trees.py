@@ -106,3 +106,39 @@ def test_planar_tree_roundtrip():
         np.testing.assert_allclose(
             np.asarray(q_rec), np.asarray(q), rtol=1e-5, atol=1e-8
         )
+
+
+def test_tree_cidgik_solve(tree):
+    """Dense CIDGIK on the dual-ee tree: multi-goal dynamic rows.
+
+    The reference never exercises CIDGIK on trees (its harness is
+    UR10-only, convex_iteration.py:322-473) - this covers the multi-ee
+    goal-anchor path of the split engine. Branch-level reflections are
+    distance-consistent alternate solutions, so (like the Riemannian tree
+    solve test above) the criterion is end-effector POSITION; per-branch
+    orientation is multimodal on trees.
+    """
+    from graphik_tpu.solvers import cidgik as cd
+    from graphik_tpu.solvers.cidgik import CidgikParams
+
+    comp = cd.compile_cidgik(tree)
+    tpl = tree.template
+    rng = np.random.RandomState(0)
+    qs = [rng.uniform(-np.pi, np.pi, tpl.n) for _ in range(3)]
+    T_goal = np.stack([
+        np.asarray(
+            kinematics.all_poses(tpl, jnp.asarray(q))[jnp.asarray(tpl.ee)]
+        )
+        for q in qs
+    ])
+    assert T_goal.shape == (3, 2, 4, 4)
+    out = cd.solve_cidgik(
+        comp, jnp.asarray(T_goal),
+        params=CidgikParams.production(
+            admm_iters=600, admm_iters_rest=300, max_outer=8
+        ),
+    )
+    e_pos, _ = api.pose_error(tree, out["q"], jnp.asarray(T_goal))
+    assert np.all(np.asarray(out["status"]) == cd.FEASIBLE)
+    # max over BOTH end effectors, every instance to sub-mm position
+    assert np.all(np.asarray(e_pos) < 1e-3), e_pos
