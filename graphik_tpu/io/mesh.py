@@ -170,12 +170,24 @@ def load_dae(path: str) -> Tuple[np.ndarray, np.ndarray]:
         faces_all.append(f + n_base)
         n_base += len(vw)
 
-    def walk(node: ET.Element, T_parent: np.ndarray):
+    # id -> node element anywhere in the document (library_nodes or scene),
+    # for <instance_node url="#id"> indirection (SketchUp and some Blender
+    # exports route all geometry through library_nodes).
+    nodes_by_id = {
+        n.get("id"): n for n in root.iter(_C + "node") if n.get("id")
+    }
+
+    def walk(node: ET.Element, T_parent: np.ndarray, seen=frozenset()):
         T = T_parent @ _dae_node_transform(node)
         for ig in node.findall(_C + "instance_geometry"):
             emit(ig.get("url", "").lstrip("#"), T)
+        for inode in node.findall(_C + "instance_node"):
+            ref_id = inode.get("url", "").lstrip("#")
+            ref = nodes_by_id.get(ref_id)
+            if ref is not None and ref_id not in seen:  # guard cycles
+                walk(ref, T, seen | {ref_id})
         for child in node.findall(_C + "node"):
-            walk(child, T)
+            walk(child, T, seen)
 
     scenes = root.find(_C + "library_visual_scenes")
     instanced = False
@@ -231,14 +243,26 @@ def load_stl(path: str) -> Tuple[np.ndarray, np.ndarray]:
     with open(path, "rb") as f:
         raw = f.read()
     head = raw[:512].lstrip()
-    if head.startswith(b"solid") and b"facet" in raw[:2048]:
+    # "solid ..." headers appear in BINARY files too (exporters write
+    # 'solid <name>' into the 80-byte header), so the discriminator is the
+    # binary size formula 84 + 50*n_tri, not the header text.
+    is_binary = False
+    if len(raw) >= 84:
+        (n_tri,) = struct.unpack_from("<I", raw, 80)
+        is_binary = len(raw) == 84 + 50 * n_tri
+    verts = np.zeros((0, 3), float)
+    if not is_binary and head.startswith(b"solid"):
         verts = []
         for line in raw.decode("ascii", "ignore").splitlines():
             parts = line.split()
             if parts[:1] == ["vertex"]:
                 verts.append([float(x) for x in parts[1:4]])
         verts = np.asarray(verts, float)
-    else:
+        if not len(verts) and len(raw) >= 84 and len(raw) >= 84 + 50 * n_tri:
+            # No ascii vertices but a plausible binary body (e.g. trailing
+            # junk broke the exact size match): parse as binary after all.
+            is_binary = True
+    if is_binary:
         (n_tri,) = struct.unpack_from("<I", raw, 80)
         data = np.frombuffer(
             raw, dtype=np.uint8, count=50 * n_tri, offset=84

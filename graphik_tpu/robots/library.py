@@ -55,32 +55,32 @@ def load_ur10(limits=None, **kw):
     return _load("ur10_mod", limits, **kw)
 
 
-def load_kuka(limits=None):
-    return _load("kuka_iiwr", limits)
+def load_kuka(limits=None, **kw):
+    return _load("kuka_iiwr", limits, **kw)
 
 
-def load_kuka_lwr(limits=None):
-    return _load("kuka_lwr", limits)
+def load_kuka_lwr(limits=None, **kw):
+    return _load("kuka_lwr", limits, **kw)
 
 
-def load_schunk_lwa4d(limits=None):
-    return _load("lwa4d", limits)
+def load_schunk_lwa4d(limits=None, **kw):
+    return _load("lwa4d", limits, **kw)
 
 
-def load_schunk_lwa4p(limits=None):
-    return _load("lwa4p", limits)
+def load_schunk_lwa4p(limits=None, **kw):
+    return _load("lwa4p", limits, **kw)
 
 
-def load_panda(limits=None):
-    return _load("panda_arm", limits)
+def load_panda(limits=None, **kw):
+    return _load("panda_arm", limits, **kw)
 
 
-def load_panda_truncated(limits=None):
-    return _load("panda_arm_truncated", limits)
+def load_panda_truncated(limits=None, **kw):
+    return _load("panda_arm_truncated", limits, **kw)
 
 
-def load_jaco(limits=None):
-    return _load("jaco2arm6DOF_no_hand", limits)
+def load_jaco(limits=None, **kw):
+    return _load("jaco2arm6DOF_no_hand", limits, **kw)
 
 
 ALL_MODELS = {

@@ -1038,6 +1038,88 @@ def _fantope(Z, d, eigh_sweeps: int = 8):
     return C, eig_sum
 
 
+def realign_floor_solution(ps, points, T_goal):
+    """Gauge realignment for floor_mode solutions (batched, jittable).
+
+    floor_mode frees the base nodes p0/q0 onto horizontal planes
+    (reference convex_iteration.py:185-192), so a solved point set carries
+    an arbitrary rigid base displacement: a slide + yaw on the floor.
+    ``ProblemStructure.joint_variables`` assumes the canonical anchored
+    base frame, so before joint extraction the solution must be
+    re-expressed in its own solved base frame: origin at the solved p0,
+    z-axis along (q0 - p0), and a deterministic horizontal x-axis — the
+    yaw freedom is absorbed by the first joint angle for robots whose
+    joint-1 axis is the base z (every reference robot). The goal pose is
+    mapped by the same base pose, and T_base is returned so world-frame
+    FK of the extracted q is ``T_base @ fk(q)``.
+
+    points : (..., N, d=3) solved node positions (world/solved frame)
+    T_goal : (..., 4, 4) goal poses in the same frame
+
+    Returns (points_base, T_goal_base, T_base) with T_base (..., 4, 4).
+    """
+    ip0, iq0 = int(ps.idx_p(0)), int(ps.idx_q(0))
+    ix, iy = int(ps.idx_x), int(ps.idx_y)
+    p0 = points[..., ip0, :]
+    q0 = points[..., iq0, :]
+    z = q0 - p0
+    z = z / jnp.linalg.norm(z, axis=-1, keepdims=True)
+    # Deterministic horizontal reference: e_x unless nearly parallel to z.
+    ex = jnp.zeros_like(z).at[..., 0].set(1.0)
+    ey = jnp.zeros_like(z).at[..., 1].set(1.0)
+    r = jnp.where(jnp.abs(z[..., :1]) > 0.9, ey, ex)
+    x = r - jnp.sum(r * z, axis=-1, keepdims=True) * z
+    x = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+    y = jnp.cross(z, x)
+    R = jnp.stack([x, y, z], axis=-1)  # columns = base axes in world frame
+    P = jnp.einsum("...nk,...kj->...nj", points - p0[..., None, :], R)
+    pos_fixed = jnp.asarray(ps.pos_fixed, points.dtype)
+    P = P.at[..., ix, :].set(pos_fixed[ix])
+    P = P.at[..., iy, :].set(pos_fixed[iy])
+    T_base = jnp.zeros(points.shape[:-2] + (4, 4), points.dtype)
+    T_base = (
+        T_base.at[..., :3, :3].set(R)
+        .at[..., :3, 3].set(p0)
+        .at[..., 3, 3].set(1.0)
+    )
+    # Rigid inverse of T_base applied to T_goal. T_goal may carry extra
+    # trailing batch axes relative to points (e.g. a per-end-effector axis
+    # from api.random_goals): broadcast the per-instance base pose across
+    # them.
+    bd = points.shape[:-2]
+    extra = T_goal.ndim - 2 - len(bd)
+    Rt = jnp.swapaxes(R, -1, -2).reshape(bd + (1,) * extra + (3, 3))
+    p0b = p0.reshape(bd + (1,) * extra + (3,))
+    Rg = T_goal[..., :3, :3].astype(points.dtype)
+    tg = T_goal[..., :3, 3].astype(points.dtype)
+    Tg = jnp.zeros(T_goal.shape[:-2] + (4, 4), points.dtype)
+    Tg = (
+        Tg.at[..., :3, :3].set(Rt @ Rg)
+        .at[..., :3, 3].set(
+            jnp.einsum("...ij,...j->...i", Rt, tg - p0b)
+        )
+        .at[..., 3, 3].set(1.0)
+    )
+    return P, Tg, T_base
+
+
+def _extract_joints(ps, comp, points, T_goal):
+    """joint_variables with the floor_mode gauge fix applied when needed.
+
+    Returns (q, T_base); T_base is the identity for anchored problems so
+    the solve output schema is stable across compilations.
+    """
+    if len(comp.lin_u):
+        P, Tg, T_base = realign_floor_solution(ps, points, T_goal)
+        return ps.joint_variables(P, Tg), T_base
+    T_base = jnp.zeros(points.shape[:-2] + (4, 4), points.dtype)
+    T_base = (
+        T_base.at[..., 0, 0].set(1.0).at[..., 1, 1].set(1.0)
+        .at[..., 2, 2].set(1.0).at[..., 3, 3].set(1.0)
+    )
+    return ps.joint_variables(points, T_goal), T_base
+
+
 def nearest_point_cost_matrix(comp: CidgikCompiled, targets, dtype=None):
     """Linear cost C with tr(C Z) = sum_u (G_uu - 2 p_u^T x_u).
 
@@ -1121,7 +1203,12 @@ def solve_cidgik(
     """Batched CIDGIK solve (solve_with_cidgik, convex_iteration.py:279-319).
 
     T_goal: (..., 4, 4) or (..., n_ee, 4, 4); leading dims batch.
-    Returns dict: q, points (all problem nodes), status, eig_sum, feas.
+    Returns dict: q, points (all problem nodes), status, eig_sum, feas,
+    T_base. For anchored problems T_base is the identity; under floor_mode
+    it is the solved rigid base pose on the floor plane (the gauge freed by
+    the planar constraints) and q is extracted in that base frame via
+    realign_floor_solution, so the world end-effector pose of q is
+    T_base @ fk(q).
 
     engine: "split" (default) runs the static/dynamic split batched ADMM -
     shared-weight MXU matmuls, host-precomputed static Gram factor, tiny
@@ -1199,9 +1286,10 @@ def solve_cidgik(
         fn = jax.vmap(fn)
     with jax.default_matmul_precision("highest"):
         points, status, eig_sum, feas = fn(anchors_pos, pos_all)
-        q = ps.joint_variables(points, T_goal)
+        q, T_base = _extract_joints(ps, comp, points, T_goal)
     return {
         "q": q,
+        "T_base": T_base,
         "points": points,
         "status": status,
         "eig_sum": eig_sum,
@@ -1301,9 +1389,10 @@ def _solve_cidgik_split(comp, T_goal, pos_all, anchors_pos, params):
         status = status.reshape(batch)
         eig_sum = eig_sum.reshape(batch)
         feas = feas.reshape(batch)
-        q = ps.joint_variables(points, T_goal)
+        q, T_base = _extract_joints(ps, comp, points, T_goal)
     return {
         "q": q,
+        "T_base": T_base,
         "points": points,
         "status": status,
         "eig_sum": eig_sum,

@@ -39,6 +39,7 @@ from graphik_tpu.solvers.cidgik import (
     FEASIBLE,
     INFEASIBLE,
     CidgikParams,
+    _extract_joints,
 )
 from graphik_tpu.ops.jacobi import jacobi_eigh
 from graphik_tpu.ops.linalg import spd_inverse_factor
@@ -1129,9 +1130,10 @@ def _solve_cidgik_sparse_split(comp, T_goal, pos_all, anchors_pos, params):
         status = status.reshape(batch)
         eig_sum = eig_sum.reshape(batch)
         feas = feas.reshape(batch)
-        q = ps.joint_variables(points, T_goal)
+        q, T_base = _extract_joints(ps, comp, points, T_goal)
     return {
         "q": q,
+        "T_base": T_base,
         "points": points,
         "status": status,
         "eig_sum": eig_sum,
@@ -1148,7 +1150,12 @@ def solve_cidgik_sparse(
 ):
     """Batched sparse CIDGIK solve (convex_iteration.py sparse mode).
 
-    Returns dict: q, points (all problem nodes), status, eig_sum, feas.
+    Returns dict: q, points (all problem nodes), status, eig_sum, feas,
+    T_base. For anchored problems T_base is the identity; under floor_mode
+    it is the solved rigid base pose on the floor plane (the gauge freed by
+    the planar constraints) and q is extracted in that base frame via
+    realign_floor_solution, so the world end-effector pose of q is
+    T_base @ fk(q).
 
     engine: "split" (default) runs the static/dynamic split batched ADMM
     (shared-weight MXU matmuls over the flattened clique blocks, host
@@ -1251,9 +1258,10 @@ def solve_cidgik_sparse(
         fn = jax.vmap(fn)
     with jax.default_matmul_precision("highest"):
         points, status, eig_sum, feas = fn(anchors_pos, pos_all)
-        q = ps.joint_variables(points, T_goal)
+        q, T_base = _extract_joints(ps, comp, points, T_goal)
     return {
         "q": q,
+        "T_base": T_base,
         "points": points,
         "status": status,
         "eig_sum": eig_sum,

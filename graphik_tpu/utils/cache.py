@@ -36,29 +36,45 @@ def _host_signature() -> str:
     return hashlib.sha1(platform.processor().encode()).hexdigest()
 
 
-def ensure_cache_dir(path: str = DEFAULT_DIR) -> str:
-    """Return a jax compilation-cache dir valid for THIS host's ISA."""
-    sig = _host_signature()
-    marker = os.path.join(path, _MARKER)
-    try:
-        with open(marker) as f:
-            if f.read().strip() != sig:
-                shutil.rmtree(path, ignore_errors=True)
-    except OSError:
-        # No marker. A NON-EMPTY dir without a marker was populated by an
-        # older writer (pre-marker conftest/bench used this same default
-        # path) or by something else entirely; its entries may carry a
-        # different host's ISA - exactly the SIGILL scenario this guard
-        # exists for - and stamping it with the current signature would
-        # make the staleness permanent. Only trust a dir whose marker
-        # matches; wipe anything else before stamping.
-        try:
-            if os.path.isdir(path) and any(os.scandir(path)):
-                shutil.rmtree(path, ignore_errors=True)
-        except OSError:
-            pass
+def _stamp(path: str, sig: str) -> str:
     os.makedirs(path, exist_ok=True)
+    marker = os.path.join(path, _MARKER)
     if not os.path.exists(marker):
         with open(marker, "w") as f:
             f.write(sig)
     return path
+
+
+def ensure_cache_dir(path: str = DEFAULT_DIR) -> str:
+    """Return a jax compilation-cache dir valid for THIS host's ISA.
+
+    Never adopts cache entries this module did not stamp: a marker written
+    by us proves the entries' ISA, so a stale marker means OUR cache from
+    another host and is wiped in place. A non-empty directory WITHOUT a
+    marker may belong to anything (a shared jax cache, a mistyped path) —
+    deleting it would be destructive, and stamping it would make possibly
+    stale-ISA entries permanent — so the cache is redirected to a
+    signature-keyed subdirectory instead and the foreign contents are left
+    untouched.
+    """
+    sig = _host_signature()
+    marker = os.path.join(path, _MARKER)
+    try:
+        with open(marker) as f:
+            if f.read().strip() == sig:
+                return path
+        # Our own marker with a different signature: this is our cache
+        # from a different host ISA — wipe in place and re-stamp.
+        shutil.rmtree(path, ignore_errors=True)
+        return _stamp(path, sig)
+    except OSError:
+        pass
+    try:
+        nonempty = os.path.isdir(path) and any(os.scandir(path))
+    except OSError:
+        nonempty = False
+    if nonempty:
+        # Unmarked, non-empty: not provably ours. Use an ISA-keyed
+        # subdirectory (itself marker-stamped) and leave the rest alone.
+        return _stamp(os.path.join(path, f"by-isa-{sig[:12]}"), sig)
+    return _stamp(path, sig)

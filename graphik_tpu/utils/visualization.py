@@ -198,58 +198,36 @@ def plot_solve_metrics(out, ax=None):
 # ---------------------------------------------------------------------------
 
 def _cylinder_mesh(p0, p1, radius, n_theta=16):
-    """(vertices, faces) of a closed cylinder from p0 to p1."""
+    """(vertices, faces) of a closed cylinder from p0 to p1.
+
+    Posed wrapper around the single tessellator in io.mesh (z-axis
+    cylinder centered at the origin): rotate local z onto p1-p0 and
+    translate to the segment midpoint.
+    """
+    from graphik_tpu.io.mesh import cylinder_mesh
+
     p0 = np.asarray(p0, float)
     p1 = np.asarray(p1, float)
     axis = p1 - p0
     h = np.linalg.norm(axis)
     if h < 1e-12:
         return np.zeros((0, 3)), np.zeros((0, 3), np.int64)
+    v, f = cylinder_mesh(radius, h, n_theta=n_theta)
     w = axis / h
     u = np.cross(w, [0.0, 0.0, 1.0])
     if np.linalg.norm(u) < 1e-8:
         u = np.cross(w, [0.0, 1.0, 0.0])
     u /= np.linalg.norm(u)
-    v = np.cross(w, u)
-    th = np.linspace(0.0, 2 * np.pi, n_theta, endpoint=False)
-    ring = radius * (np.outer(np.cos(th), u) + np.outer(np.sin(th), v))
-    verts = np.concatenate([
-        p0 + ring, p1 + ring, p0[None], p1[None]
-    ])  # bottom ring, top ring, bottom center, top center
-    faces = []
-    cb, ct = 2 * n_theta, 2 * n_theta + 1
-    for k in range(n_theta):
-        k2 = (k + 1) % n_theta
-        faces.append([k, k2, n_theta + k])           # side lower tri
-        faces.append([k2, n_theta + k2, n_theta + k])  # side upper tri
-        faces.append([k2, k, cb])                    # bottom cap
-        faces.append([n_theta + k, n_theta + k2, ct])  # top cap
-    return verts, np.asarray(faces, np.int64)
+    R = np.stack([u, np.cross(w, u), w], axis=1)  # columns: local x,y,z
+    return v @ R.T + (p0 + p1) / 2.0, f
 
 
 def _sphere_mesh(center, radius, n_theta=16, n_phi=12):
-    """(vertices, faces) of a UV sphere."""
-    center = np.asarray(center, float)
-    th = np.linspace(0.0, 2 * np.pi, n_theta, endpoint=False)
-    ph = np.linspace(0.0, np.pi, n_phi)
-    verts = []
-    for p in ph:
-        for t in th:
-            verts.append(center + radius * np.array([
-                np.cos(t) * np.sin(p), np.sin(t) * np.sin(p), np.cos(p)
-            ]))
-    verts = np.asarray(verts)
-    faces = []
-    for i in range(n_phi - 1):
-        for j in range(n_theta):
-            j2 = (j + 1) % n_theta
-            a = i * n_theta + j
-            b = i * n_theta + j2
-            c = (i + 1) * n_theta + j
-            d = (i + 1) * n_theta + j2
-            faces.append([a, b, c])
-            faces.append([b, d, c])
-    return verts, np.asarray(faces, np.int64)
+    """(vertices, faces) of a UV sphere at `center` (io.mesh tessellator)."""
+    from graphik_tpu.io.mesh import sphere_mesh
+
+    v, f = sphere_mesh(radius, n_theta=n_theta, n_phi=n_phi)
+    return v + np.asarray(center, float), f
 
 
 def load_mesh(path):
@@ -284,7 +262,7 @@ def make_scene(model, q=None, mesh_root=None, with_robot=True,
     """
     from itertools import combinations
 
-    from graphik_tpu.io.mesh import cylinder_mesh, sphere_mesh
+    from graphik_tpu.io.mesh import sphere_mesh
 
     cfg = None
     if q is not None:

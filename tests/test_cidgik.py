@@ -322,3 +322,33 @@ class TestFloorMode:
         e_pos, e_rot = api.pose_error(ur10, q, Tg)
         hits = (np.asarray(e_pos) < 2e-2) & (np.asarray(e_rot) < 5e-2)
         assert hits.sum() >= 2, (e_pos, e_rot, out["eig_sum"], out["feas"])
+
+    def test_library_q_matches_hand_realignment(self, ur10, fcomp):
+        """solve_cidgik applies the gauge fix itself: out["q"] is extracted
+        in the solved base frame and out["T_base"] maps it back to the
+        world, so T_base^-1 @ T_goal is reached by FK(out["q"])."""
+        n = 3
+        T_goal, _ = api.random_goals(ur10, jax.random.PRNGKey(3), (n,))
+        T_goal = np.asarray(T_goal, np.float64)
+        out = cidgik.solve_cidgik(
+            fcomp, jnp.asarray(T_goal),
+            params=CidgikParams(admm_iters=1000, max_outer=8),
+        )
+        Tb = np.asarray(out["T_base"], np.float64)
+        # T_base is a rigid pose with the base on the floor plane
+        R = Tb[:, :3, :3]
+        assert np.abs(R @ R.transpose(0, 2, 1) - np.eye(3)).max() < 1e-6
+        assert np.abs(Tb[:, 2, 3]).max() < 2e-2  # origin at z ~ 0
+        # T_goal carries a per-end-effector axis (n, 1, 4, 4)
+        Tg_base = np.linalg.inv(Tb)[:, None] @ T_goal
+        e_pos, e_rot = api.pose_error(ur10, out["q"], jnp.asarray(Tg_base))
+        hits = (np.asarray(e_pos) < 2e-2) & (np.asarray(e_rot) < 5e-2)
+        assert hits.sum() >= 2, (e_pos, e_rot)
+
+    def test_anchored_solve_returns_identity_T_base(self, ur10, comp):
+        T_goal, _ = api.random_goals(ur10, jax.random.PRNGKey(9), (2,))
+        out = cidgik.solve_cidgik(
+            comp, T_goal, params=CidgikParams(admm_iters=50, max_outer=1),
+        )
+        Tb = np.asarray(out["T_base"])
+        assert np.array_equal(Tb, np.broadcast_to(np.eye(4), Tb.shape))

@@ -168,3 +168,17 @@ class TestFloorModeSparse:
         q0 = pts[:, int(ur10.idx_q(0))]
         assert np.abs(p0[:, 2]).max() < 2e-2, p0
         assert np.abs(q0[:, 2] - 1.0).max() < 2e-2, q0
+
+        # The gauge fix runs inside solve_cidgik_sparse: T_base is a rigid
+        # base pose on the floor and FK(out["q"]) reaches T_base^-1 T_goal.
+        Tb = np.asarray(out["T_base"], np.float64)
+        R = Tb[:, :3, :3]
+        assert np.abs(R @ R.transpose(0, 2, 1) - np.eye(3)).max() < 1e-6
+        assert np.abs(Tb[:, 2, 3]).max() < 2e-2
+        # T_goal carries a per-end-effector axis (n, 1, 4, 4)
+        Tg_base = (
+            np.linalg.inv(Tb)[:, None] @ np.asarray(T_goal, np.float64)
+        )
+        e_pos, e_rot = api.pose_error(ur10, out["q"], jnp.asarray(Tg_base))
+        assert ((np.asarray(e_pos) < 2e-2)
+                & (np.asarray(e_rot) < 5e-2)).sum() >= 1, (e_pos, e_rot)

@@ -284,3 +284,73 @@ def test_real_assets_load():
         assert np.all(f < len(v))
         # robot-arm parts are sub-3m objects
         assert float(np.ptp(v, axis=0).max()) < 3.0
+
+
+DAE_INSTANCE_NODE = """<?xml version="1.0" encoding="utf-8"?>
+<COLLADA xmlns="http://www.collada.org/2005/11/COLLADASchema" version="1.4.1">
+  <asset><unit name="meter" meter="1"/><up_axis>Z_UP</up_axis></asset>
+  <library_geometries>
+    <geometry id="g0"><mesh>
+      <source id="g0-p">
+        <float_array id="g0-pa" count="9">0 0 0  1 0 0  0 1 0</float_array>
+        <technique_common>
+          <accessor source="#g0-pa" count="3" stride="3">
+            <param name="X" type="float"/><param name="Y" type="float"/>
+            <param name="Z" type="float"/>
+          </accessor>
+        </technique_common>
+      </source>
+      <vertices id="g0-v">
+        <input semantic="POSITION" source="#g0-p"/>
+      </vertices>
+      <triangles count="1">
+        <input semantic="VERTEX" source="#g0-v" offset="0"/>
+        <p>0 1 2</p>
+      </triangles>
+    </mesh></geometry>
+  </library_geometries>
+  <library_nodes>
+    <node id="shared"><translate>0 0 3</translate>
+      <instance_geometry url="#g0"/></node>
+  </library_nodes>
+  <library_visual_scenes>
+    <visual_scene id="Scene">
+      <node id="a"><translate>5 0 0</translate>
+        <instance_node url="#shared"/></node>
+    </visual_scene>
+  </library_visual_scenes>
+</COLLADA>
+"""
+
+
+def test_dae_instance_node_indirection(tmp_path):
+    """<instance_node> through library_nodes (SketchUp/Blender exports):
+    the instanced node's own transform composes under the scene node's."""
+    p = tmp_path / "inst.dae"
+    p.write_text(DAE_INSTANCE_NODE)
+    v, f = meshio.load_dae(str(p))
+    assert len(f) == 1
+    np.testing.assert_allclose(
+        v, [[5, 0, 3], [6, 0, 3], [5, 1, 3]], atol=1e-12
+    )
+
+
+def test_stl_binary_with_solid_header(tmp_path):
+    """A binary STL whose 80-byte header begins with 'solid' (and even
+    contains the word 'facet') must still parse as binary, not as an
+    empty ascii file."""
+    import struct
+
+    tri = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    header = b"solid facetted_part exported by cad" + b" " * 45
+    body = struct.pack("<I", 2)
+    for _ in range(2):
+        body += struct.pack("<3f", 0, 0, 1)
+        for vtx in tri:
+            body += struct.pack("<3f", *vtx)
+        body += struct.pack("<H", 0)
+    p = tmp_path / "part.stl"
+    p.write_bytes(header[:80] + body)
+    v, f = meshio.load_stl(str(p))
+    assert len(f) == 2 and len(v) == 6
+    np.testing.assert_allclose(v[:3], tri, atol=1e-7)

@@ -231,3 +231,47 @@ class TestMeshLoading:
         np.testing.assert_allclose(
             [float(x) for x in first_v], T_all[3, :3, 3], atol=1e-5
         )
+
+
+class TestCacheDir:
+    """ensure_cache_dir ISA-stamping (utils/cache.py): never adopt unmarked
+    entries, never delete a directory we did not stamp."""
+
+    def test_fresh_dir_stamped_and_reused(self, tmp_path):
+        from graphik_tpu.utils import cache
+
+        p = str(tmp_path / "cache")
+        got = cache.ensure_cache_dir(p)
+        assert got == p
+        marker = tmp_path / "cache" / cache._MARKER
+        assert marker.exists()
+        (tmp_path / "cache" / "entry").write_text("x")
+        assert cache.ensure_cache_dir(p) == p
+        assert (tmp_path / "cache" / "entry").exists()  # same sig: kept
+
+    def test_stale_own_marker_wipes_in_place(self, tmp_path):
+        from graphik_tpu.utils import cache
+
+        p = tmp_path / "cache"
+        p.mkdir()
+        (p / cache._MARKER).write_text("not-this-host")
+        (p / "stale_entry").write_text("x")
+        got = cache.ensure_cache_dir(str(p))
+        assert got == str(p)
+        assert not (p / "stale_entry").exists()
+        assert (p / cache._MARKER).read_text() == cache._host_signature()
+
+    def test_foreign_dir_left_untouched(self, tmp_path):
+        from graphik_tpu.utils import cache
+
+        p = tmp_path / "shared"
+        p.mkdir()
+        (p / "precious").write_text("do not delete")
+        got = cache.ensure_cache_dir(str(p))
+        assert got != str(p) and got.startswith(str(p))  # redirected
+        assert (p / "precious").read_text() == "do not delete"
+        import os
+
+        assert os.path.exists(os.path.join(got, cache._MARKER))
+        # second call resolves to the same stamped subdir
+        assert cache.ensure_cache_dir(str(p)) == got
