@@ -77,6 +77,30 @@ def main_obstacles(batch=8, seed=0):
     print("obstacle clearance:", np.asarray(ok).mean())
 
 
+def main_floor(batch=8, seed=3):
+    """floor_mode (reference convex_iteration.py:185-192): the base is
+    freed from its anchors and constrained only to the floor plane, so the
+    solver may place the robot anywhere on the floor that reaches the
+    goal. The returned q is expressed in the solved base frame and
+    out["T_base"] maps it back: world ee pose = T_base @ fk(q)."""
+    tpl, graph = load_ur10()
+    comp = compile_cidgik(graph, floor_mode=True)
+
+    T_goal, _ = api.random_goals(graph, jax.random.PRNGKey(seed), (batch,))
+    out = solve_cidgik(comp, jnp.asarray(T_goal),
+                       params=CidgikParams.production())
+
+    Tb = np.asarray(out["T_base"], np.float64)
+    # goal expressed in each solution's own base frame (per-ee axis kept)
+    Tg_base = np.linalg.inv(Tb)[:, None] @ np.asarray(T_goal, np.float64)
+    e_pos, e_rot = api.pose_error(graph, out["q"], jnp.asarray(Tg_base))
+    hit = (np.asarray(e_pos) < 1e-2) & (np.asarray(e_rot) < 5e-2)
+    print("floor_mode success rate (err < 1cm):", hit.mean())
+    print("base positions on the floor (x, y, z):")
+    print(np.round(Tb[:, :3, 3], 3))
+
+
 if __name__ == "__main__":
     main()
     main_obstacles()
+    main_floor()
